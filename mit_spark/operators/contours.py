@@ -1,0 +1,237 @@
+"""Pure-numpy replacements for the opencv/Clipper primitives the reference
+leans on (this container has no cv2/shapely/pyclipper — SURVEY.md §7 risks).
+
+Semantics parity (not bit parity — equality in this engine is always
+oracle == pipeline, and both import THIS module):
+  * connected components  <- cv2.findContours(RETR_LIST, CHAIN_APPROX_SIMPLE)
+      as called from /root/reference/crates/util/src/imageproc.rs:62-88.
+      We group 8-connected foreground pixels; hole contours are irrelevant
+      for DBNet text maps. Components are enumerated in deterministic
+      (min_row, min_col) order.
+  * min_area_rect          <- cv2.minAreaRect + boxPoints as used by
+      get_mini_boxes (/root/reference/crates/util/src/dbnet.rs:113-149):
+      convex hull + rotating calipers.
+  * fill_polygon_mask      <- cv2.fillPoly as used by box_score_fast
+      (dbnet.rs:184-200): even-odd scanline at integer pixel centers.
+  * offset_polygon_round   <- Clipper2 ROUND_JOIN polygon offset as used by
+      unclip (dbnet.rs:300-324): exact round-join offset of a convex polygon
+      (arc-sampled corners).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mit_spark.operators.geometry import convex_hull
+
+
+# ---------------------------------------------------------------------------
+# connected components (8-connectivity), run-based union-find
+
+
+def _find(parent: list, x: int) -> int:
+    root = x
+    while parent[root] != root:
+        root = parent[root]
+    while parent[x] != root:
+        parent[x], x = root, parent[x]
+    return root
+
+
+def connected_components(bitmap: np.ndarray) -> list[np.ndarray]:
+    """Group 8-connected True pixels; returns a list of (N_i, 2) int64 arrays
+    of (x, y) coordinates, ordered by (min_row, min_col) of the component."""
+    bm = np.asarray(bitmap, dtype=bool)
+    h, w = bm.shape
+    if not bm.any():
+        return []
+
+    # per-row runs: starts/ends via diff on padded rows
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = bm
+    d = np.diff(padded, axis=1)
+    run_rows, run_starts = np.nonzero(d == 1)
+    _, run_ends = np.nonzero(d == -1)  # exclusive end; same count/order per row
+
+    n_runs = len(run_rows)
+    parent = list(range(n_runs))
+
+    # union runs that touch between consecutive rows (8-conn: overlap with ±1)
+    row_start_idx = np.searchsorted(run_rows, np.arange(h + 1))
+    for r in range(1, h):
+        a0, a1 = row_start_idx[r - 1], row_start_idx[r]
+        b0, b1 = row_start_idx[r], row_start_idx[r + 1]
+        if a0 == a1 or b0 == b1:
+            continue
+        i, j = a0, b0
+        while i < a1 and j < b1:
+            # 8-connectivity: runs [s,e) touch if s_a <= e_b and s_b <= e_a
+            # with one-pixel diagonal slack
+            if run_starts[i] <= run_ends[j] and run_starts[j] <= run_ends[i]:
+                ri, rj = _find(parent, i), _find(parent, j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+            if run_ends[i] < run_ends[j]:
+                i += 1
+            else:
+                j += 1
+
+    roots = np.fromiter((_find(parent, i) for i in range(n_runs)), dtype=np.int64)
+    comps: dict[int, list[int]] = {}
+    for idx, root in enumerate(roots):
+        comps.setdefault(int(root), []).append(idx)
+
+    out = []
+    for _, run_ids in sorted(comps.items(), key=lambda kv: (run_rows[kv[1][0]], run_starts[kv[1][0]])):
+        xs_parts, ys_parts = [], []
+        for ri in run_ids:
+            xs = np.arange(run_starts[ri], run_ends[ri], dtype=np.int64)
+            xs_parts.append(xs)
+            ys_parts.append(np.full(len(xs), run_rows[ri], dtype=np.int64))
+        pts = np.stack([np.concatenate(xs_parts), np.concatenate(ys_parts)], axis=1)
+        out.append(pts)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# min-area rotated rectangle (rotating calipers over the convex hull)
+
+
+def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float, float]:
+    """Returns (4 corner points float32 (4,2), width, height) of the minimum
+    -area rectangle enclosing ``points`` (pixel coordinates as points, the
+    cv2.minAreaRect convention: a 1-px-wide run has zero width)."""
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    hull = convex_hull(pts)
+    n = len(hull)
+    if n == 1:
+        p = hull[0]
+        corners = np.tile(p, (4, 1))
+        return corners.astype(np.float32), 0.0, 0.0
+    if n == 2:
+        a, b = hull
+        corners = np.array([a, b, b, a])
+        return corners.astype(np.float32), float(np.linalg.norm(b - a)), 0.0
+
+    best = None
+    for i in range(n):
+        e = hull[(i + 1) % n] - hull[i]
+        norm = np.hypot(e[0], e[1])
+        if norm == 0:
+            continue
+        d = e / norm
+        nvec = np.array([-d[1], d[0]])
+        pd = hull @ d
+        pn = hull @ nvec
+        w = pd.max() - pd.min()
+        h = pn.max() - pn.min()
+        area = w * h
+        if best is None or area < best[0]:
+            best = (area, d, nvec, pd.min(), pd.max(), pn.min(), pn.max(), w, h)
+
+    _, d, nvec, d0, d1, n0, n1, w, h = best
+    corners = np.array(
+        [
+            d0 * d + n0 * nvec,
+            d1 * d + n0 * nvec,
+            d1 * d + n1 * nvec,
+            d0 * d + n1 * nvec,
+        ]
+    )
+    return corners.astype(np.float32), float(w), float(h)
+
+
+# ---------------------------------------------------------------------------
+# polygon scanline fill (even-odd), for box_score_fast's masked mean
+
+
+def fill_polygon_mask(poly: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Rasterize ``poly`` ((N,2) float, x/y in mask coords) into a bool mask of
+    shape (height, width) using even-odd scanline at integer pixel centers."""
+    p = np.asarray(poly, dtype=np.float64)
+    mask = np.zeros((height, width), dtype=bool)
+    n = len(p)
+    if n < 3:
+        # degenerate: mark covered pixels directly
+        xi = np.clip(np.round(p[:, 0]).astype(int), 0, width - 1)
+        yi = np.clip(np.round(p[:, 1]).astype(int), 0, height - 1)
+        mask[yi, xi] = True
+        return mask
+    y0 = max(int(np.floor(p[:, 1].min())), 0)
+    y1 = min(int(np.ceil(p[:, 1].max())), height - 1)
+    x1_, y1_ = p[:, 0], p[:, 1]
+    x2_, y2_ = np.roll(p[:, 0], -1), np.roll(p[:, 1], -1)
+    for y in range(y0, y1 + 1):
+        # edges crossing scanline y (half-open rule avoids double counting)
+        cond = ((y1_ <= y) & (y2_ > y)) | ((y2_ <= y) & (y1_ > y))
+        if not cond.any():
+            # horizontal-edge-only rows: mark pixels on edges at this y
+            on = (y1_ == y) & (y2_ == y)
+            for a, b in zip(np.nonzero(on)[0], np.nonzero(on)[0]):
+                xs = sorted((x1_[a], x2_[b]))
+                lo = max(int(np.ceil(xs[0])), 0)
+                hi = min(int(np.floor(xs[1])), width - 1)
+                if lo <= hi:
+                    mask[y, lo : hi + 1] = True
+            continue
+        t = (y - y1_[cond]) / (y2_[cond] - y1_[cond])
+        xs = np.sort(x1_[cond] + t * (x2_[cond] - x1_[cond]))
+        for k in range(0, len(xs) - 1, 2):
+            lo = max(int(np.ceil(xs[k] - 0.5)), 0)
+            hi = min(int(np.floor(xs[k + 1] + 0.5)), width - 1)
+            if lo <= hi:
+                mask[y, lo : hi + 1] = True
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# round-join polygon offset (Clipper2 JT_ROUND equivalent for convex input)
+
+
+def offset_polygon_round(poly: np.ndarray, delta: float, arc_steps: int = 8) -> np.ndarray:
+    """Outward offset of a convex CCW/CW polygon by ``delta`` with round
+    joins: each vertex contributes arc samples on the circle of radius delta
+    between its adjacent edge normals. Returns (M, 2) float64 points."""
+    p = np.asarray(poly, dtype=np.float64)
+    n = len(p)
+    if n < 3 or delta <= 0:
+        return p.copy()
+
+    # ensure CCW orientation so outward normals are consistent
+    area2 = float(
+        np.dot(p[:, 0], np.roll(p[:, 1], -1)) - np.dot(p[:, 1], np.roll(p[:, 0], -1))
+    )
+    if area2 < 0:
+        p = p[::-1]
+
+    out = []
+    for i in range(len(p)):
+        prev_ = p[i - 1]
+        cur = p[i]
+        nxt = p[(i + 1) % len(p)]
+        e0 = cur - prev_
+        e1 = nxt - cur
+        l0, l1 = np.hypot(*e0), np.hypot(*e1)
+        if l0 == 0 or l1 == 0:
+            continue
+        # outward normals for CCW polygon
+        n0 = np.array([e0[1], -e0[0]]) / l0
+        n1 = np.array([e1[1], -e1[0]]) / l1
+        a0 = np.arctan2(n0[1], n0[0])
+        a1 = np.arctan2(n1[1], n1[0])
+        # sweep from a0 to a1 the short way around (convex turn)
+        da = a1 - a0
+        while da < 0:
+            da += 2 * np.pi
+        while da > 2 * np.pi:
+            da -= 2 * np.pi
+        steps = max(int(np.ceil(da / (np.pi / arc_steps))), 1)
+        angles = a0 + da * np.arange(steps + 1) / steps
+        for a in angles:
+            out.append(cur + delta * np.array([np.cos(a), np.sin(a)]))
+    return np.array(out, dtype=np.float64)
+
+
+def polygon_perimeter(poly: np.ndarray) -> float:
+    p = np.asarray(poly, dtype=np.float64)
+    return float(np.sqrt(((p - np.roll(p, -1, axis=0)) ** 2).sum(axis=1)).sum())
