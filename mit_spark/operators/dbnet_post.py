@@ -42,6 +42,24 @@ def binarize(pred: np.ndarray, thresh: float) -> np.ndarray:
     return pred > thresh
 
 
+def _row_extremes(comp: np.ndarray) -> np.ndarray:
+    """Reduce component pixels (x, y) to per-row min/max x (hull-preserving)."""
+    ys = comp[:, 1]
+    xs = comp[:, 0]
+    order = np.argsort(ys, kind="stable")
+    ys_s, xs_s = ys[order], xs[order]
+    row_starts = np.searchsorted(ys_s, np.unique(ys_s))
+    out = []
+    bounds = list(row_starts) + [len(ys_s)]
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        seg = xs_s[lo:hi]
+        y = ys_s[lo]
+        out.append((seg.min(), y))
+        out.append((seg.max(), y))
+    return np.array(out, dtype=np.int64)
+
+
 def get_mini_boxes(points: np.ndarray) -> tuple[np.ndarray, float]:
     """dbnet.rs:113-149: min-area rect corners ordered
     [left-top, right-top, right-bottom, left-bottom] via the x-sort +
@@ -115,6 +133,9 @@ def boxes_from_bitmap(
 
     for index in range(num):
         comp = comps[index]
+        # per-row x-extremes carry the full convex hull — avoids hulling
+        # hundreds of thousands of interior pixels for big components
+        comp = _row_extremes(comp)
         hull = convex_hull(comp.astype(np.float64))
         points, sside = get_mini_boxes(comp)
         if sside < min_size:

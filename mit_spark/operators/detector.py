@@ -1,0 +1,128 @@
+"""The detector — numpy port of the reference's detect()/infer() lifecycle.
+
+Parity sources:
+  * Detector::detect wrapper (border-400, preprocess flags, auto-rotate
+    rerun, mask/quad un-rotation):
+    /root/reference/crates/interface/src/detectors/common.rs:8-79 and
+    detectors/mod.rs:47-68
+  * DbNetDetector::infer (rearrange-vs-resize branch, forward, representer,
+    filter + area>=16, mask x255 resize x2 crop):
+    /root/reference/crates/modules/detector/dbnet/src/lib.rs:104-221
+
+One image per call — the Spark N-dimension is the Arrow batch in
+mit_spark.plans.pipeline; this module stays Spark-free so the single-process
+oracle (mit_spark.oracle) imports the exact same code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mit_spark.config import DetectorOptions, PreprocessorOptions
+from mit_spark.operators import imageops as ops
+from mit_spark.operators.dbnet_post import filter_boxes_and_adjust, representer_call
+from mit_spark.operators.forward import ForwardFn
+from mit_spark.operators.geometry import Quad
+from mit_spark.operators.rearrange import det_rearrange_forward, should_rearrange
+
+
+def infer(
+    img: np.ndarray, forward: ForwardFn, opts: DetectorOptions
+) -> tuple[list[Quad], np.ndarray]:
+    """dbnet/src/lib.rs:104-221. Returns (quads, mask uint8 (H,W))."""
+    if should_rearrange(img, opts.detect_size):
+        shape = (img.shape[0], img.shape[1])
+        db, mask = det_rearrange_forward(img, opts.detect_size, opts.max_batch_size, forward)
+        ratio_w = ratio_h = 1.0
+        pad_w = pad_h = 0
+    else:
+        pre = img
+        if opts.pre_filter == "bilateral":
+            pre = ops.bilateral_filter(pre, 17, 80.0, 80.0)
+        resized, ratio, pad_w, pad_h = ops.resize_aspect_ratio(pre, opts.detect_size, 1.0)
+        ratio_h = 1.0 / ratio
+        ratio_w = ratio_h
+        shape = (resized.shape[0], resized.shape[1])
+        db, mask = forward(resized[None, ...])
+
+    mask2d = mask[0, 0]
+
+    boxes_b, scores_b = representer_call(
+        db,
+        [shape],
+        thresh=opts.text_threshold,
+        box_thresh=opts.box_threshold,
+        min_size=opts.min_size,
+        max_candidates=opts.max_candidates,
+        unclip_ratio=opts.unclip_ratio,
+    )
+    boxes, scores = boxes_b[0], scores_b[0]
+    keep = boxes.reshape(len(boxes), -1).sum(axis=1) > 0 if len(boxes) else np.zeros(0, bool)
+    polys = filter_boxes_and_adjust(boxes, ratio_w, ratio_h)
+    kept_scores = scores[keep] if len(boxes) else scores
+
+    quads = []
+    for pts, score in zip(polys, kept_scores):
+        q = Quad(pts, float(score))
+        if q.area() >= 16.0:  # dbnet lib.rs:206
+            quads.append(q)
+
+    # mask post-proc (dbnet lib.rs:209-218): x255 clamp, resize x2, strip pad
+    m8 = np.clip(mask2d * 255.0, 0.0, 255.0).astype(np.uint8)
+    m8 = ops.resize_mask(m8, m8.shape[1] * 2, m8.shape[0] * 2, "bilinear")
+    if pad_h > 0 or pad_w > 0:
+        m8 = ops.remove_border_mask(m8, m8.shape[1] - pad_w, m8.shape[0] - pad_h)
+    return quads, m8
+
+
+def detect(
+    img: np.ndarray,
+    forward: ForwardFn,
+    opts: DetectorOptions,
+    pre: PreprocessorOptions = PreprocessorOptions(),
+) -> tuple[list[Quad], np.ndarray]:
+    """Detector::detect + common::detect. Returns (quads in ORIGINAL image
+    coordinates, mask uint8)."""
+    img_h = img.shape[0]
+    add_border = None
+    if min(img.shape[0], img.shape[1]) < 400:  # common.rs:16-21
+        add_border = (img.shape[1], img.shape[0])
+    work = ops.add_border(img, 400)
+    if pre.rotate:
+        work = ops.rotate_right(work)
+    if pre.invert:
+        work = ops.invert(work)
+    if pre.gamma_correct:
+        work = ops.gamma_correction(work)
+
+    quads, mask = infer(work, forward, opts)
+
+    if pre.auto_rotate:
+        # common.rs:40-44: `textlines.iter().map(|v| ...).count()` counts ALL
+        # elements (map does not filter), so `len*2 >= len` is always true and
+        # the empty case is true too -> the rerun ALWAYS fires exactly once,
+        # with auto_rotate stripped (detectors/mod.rs:59-67). Preserved as-is.
+        rerun = True
+        if rerun:
+            return detect(
+                img,
+                forward,
+                opts,
+                PreprocessorOptions(
+                    invert=pre.invert,
+                    gamma_correct=pre.gamma_correct,
+                    rotate=pre.rotate,
+                    auto_rotate=False,
+                ),
+            )
+
+    if add_border is not None:  # common.rs:52-56
+        w, h = add_border
+        mask = ops.remove_border_mask(mask, w, h)
+
+    if pre.rotate:  # common.rs:58-77: un-rotate mask + remap (x,y)->(y, -x+h)
+        mask = ops.rotate_left_mask(mask)
+        quads = [
+            Quad([(int(y), int(-x + img_h)) for x, y in q.pts], q.score) for q in quads
+        ]
+    return quads, mask

@@ -161,7 +161,10 @@ def _bilinear_axis_coords(dst: int, src: int) -> tuple[np.ndarray, np.ndarray, n
     scale = src / dst
     x = (np.arange(dst, dtype=np.float64) + 0.5) * scale - 0.5
     x0 = np.floor(x).astype(np.int64)
-    frac = x - x0
+    # frac must be float32: float64 ufuncs are pathologically slow on this
+    # numpy build (AVX512 f32 paths are ~1000x faster), and a float64 frac
+    # would upcast every interpolation temporary
+    frac = (x - x0).astype(np.float32)
     lo = np.clip(x0, 0, src - 1)
     hi = np.clip(x0 + 1, 0, src - 1)
     return lo, hi, frac
@@ -182,15 +185,16 @@ def resize(img: np.ndarray, width: int, height: int, interpolation: str = "bilin
     y0, y1, fy = _bilinear_axis_coords(height, h)
     x0, x1, fx = _bilinear_axis_coords(width, w)
     f = img.astype(np.float32)
-    top = f[y0][:, x0] * (1 - fx)[None, :, None] + f[y0][:, x1] * fx[None, :, None] \
-        if img.ndim == 3 else f[y0][:, x0] * (1 - fx)[None, :] + f[y0][:, x1] * fx[None, :]
-    bot = f[y1][:, x0] * (1 - fx)[None, :, None] + f[y1][:, x1] * fx[None, :, None] \
-        if img.ndim == 3 else f[y1][:, x0] * (1 - fx)[None, :] + f[y1][:, x1] * fx[None, :]
+    # rows first (H, w, [3]) then columns — avoids the w*H-sized double
+    # fancy-index temporaries of the naive formulation
     if img.ndim == 3:
-        out = top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
+        rows = f[y0] * (1 - fy)[:, None, None] + f[y1] * fy[:, None, None]
+        out = rows[:, x0] * (1 - fx)[None, :, None] + rows[:, x1] * fx[None, :, None]
     else:
-        out = top * (1 - fy)[:, None] + bot * fy[:, None]
-    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+        rows = f[y0] * (1 - fy)[:, None] + f[y1] * fy[:, None]
+        out = rows[:, x0] * (1 - fx)[None, :] + rows[:, x1] * fx[None, :]
+    # convex combination of uint8 stays in [0, 255]; +0.5 then truncate == round
+    return (out + np.float32(0.5)).astype(np.uint8)
 
 
 def resize_float(arr: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -201,9 +205,8 @@ def resize_float(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     y0, y1, fy = _bilinear_axis_coords(height, h)
     x0, x1, fx = _bilinear_axis_coords(width, w)
     f = arr.astype(np.float32)
-    top = f[y0][:, x0] * (1 - fx)[None, :] + f[y0][:, x1] * fx[None, :]
-    bot = f[y1][:, x0] * (1 - fx)[None, :] + f[y1][:, x1] * fx[None, :]
-    return (top * (1 - fy)[:, None] + bot * fy[:, None]).astype(np.float32)
+    rows = f[y0] * (1 - fy)[:, None] + f[y1] * fy[:, None]
+    return (rows[:, x0] * (1 - fx)[None, :] + rows[:, x1] * fx[None, :]).astype(np.float32)
 
 
 resize_mask = resize

@@ -1,0 +1,92 @@
+"""End-to-end span-sequence equality: Spark pipeline == numpy oracle on the
+deterministic synthetic docs table (the north rule's per-row invariant:
+(kind, text, media_ref, order) per document)."""
+
+import pytest
+
+from mit_spark.config import DetectorOptions, PipelineConfig
+from mit_spark.oracle import extract_docs
+from mit_spark.schema import DOCS
+from mit_spark.synth import gen_docs
+
+# small detect_size keeps the tiny-scale suite fast; oracle and pipeline
+# always share the config so equality is exercised at any size
+TEST_CFG = PipelineConfig(detector=DetectorOptions(detect_size=512))
+
+
+def _spans_tuples(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in spans]
+
+
+def _rows_to_dict(rows):
+    out = {}
+    for r in rows:
+        out[r["doc_id"]] = [
+            (s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]
+        ]
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return gen_docs(24)
+
+
+@pytest.fixture(scope="module")
+def oracle_out(docs):
+    return {d["doc_id"]: _spans_tuples(d["spans"]) for d in extract_docs(docs, TEST_CFG)}
+
+
+def test_pipeline_matches_oracle(spark, docs, oracle_out):
+    from mit_spark.plans.pipeline import extract
+
+    docs_df = spark.createDataFrame(docs, schema=DOCS)
+    got = _rows_to_dict(extract(spark, docs_df, TEST_CFG).collect())
+    assert set(got) == set(oracle_out)
+    mismatches = {k for k in got if got[k] != oracle_out[k]}
+    assert not mismatches, f"span-sequence mismatch for {sorted(mismatches)[:3]}: " \
+        f"{[(got[k], oracle_out[k]) for k in sorted(mismatches)[:1]]}"
+
+
+def test_pipeline_output_schema(spark, docs):
+    from mit_spark.plans.pipeline import extract
+
+    docs_df = spark.createDataFrame(docs[:2], schema=DOCS)
+    out = extract(spark, docs_df, TEST_CFG)
+    fields = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert fields["doc_id"] == "string"
+    assert "array<struct<kind:string,text:string,media_ref:string,order:int>>" == fields["spans"]
+
+
+def test_pipeline_orders_are_sorted(spark, docs):
+    from mit_spark.plans.pipeline import extract
+
+    docs_df = spark.createDataFrame(docs[:6], schema=DOCS)
+    for row in extract(spark, docs_df, TEST_CFG).collect():
+        orders = [s["order"] for s in row["spans"]]
+        assert orders == sorted(orders)
+
+
+def test_pipeline_unsalted_equals_salted(spark, docs, oracle_out):
+    from mit_spark.plans.pipeline import extract
+
+    cfg = PipelineConfig(detector=DetectorOptions(detect_size=512), regroup_salt=1)
+    docs_df = spark.createDataFrame(docs[:8], schema=DOCS)
+    got = _rows_to_dict(extract(spark, docs_df, cfg).collect())
+    for k, v in got.items():
+        assert v == oracle_out[k]
+
+
+def test_heavy_doc_media_extraction(spark):
+    """doc_no % 50 == 49 -> 64-256 media spans (FIXTURES.md F1 skew knob);
+    run one heavy doc at a small detect size through the salted path."""
+    cfg = PipelineConfig(detector=DetectorOptions(detect_size=256), regroup_salt=8)
+    heavy = gen_docs(50)[49:50]
+    n_media = sum(1 for s in heavy[0]["spans"] if s["kind"] == "media")
+    assert n_media >= 64
+    from mit_spark.plans.pipeline import extract
+
+    docs_df = spark.createDataFrame(heavy, schema=DOCS)
+    got = _rows_to_dict(extract(spark, docs_df, cfg).collect())
+    want = {d["doc_id"]: _spans_tuples(d["spans"]) for d in extract_docs(heavy, cfg)}
+    assert got == want
