@@ -1,0 +1,51 @@
+"""Sources — build the interleaved docs table (input_hint shape) and other
+engine inputs.
+
+The driver's testdata has no interleaved-docs parquet, so ``load_docs``
+derives it deterministically from ``documents.parquet`` doc_ids with the
+synth generator running DISTRIBUTED inside mapInPandas (any worker can
+regenerate any document — no driver-side generation, no collect; TESTDATA.md
+forbids writing new inputs). An Iceberg scan drops in here unchanged when
+the runtime jar is present (sources are behind one function seam).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mit_spark.schema import DOCS
+
+
+def load_doc_ids(spark: SparkSession, sf_dir: str, limit: int | None = None) -> DataFrame:
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.format_string("doc-%08d", F.col("doc_id")).alias("doc_id"))
+    )
+    if limit:
+        ids = ids.limit(limit)
+    return ids
+
+
+def load_docs(spark: SparkSession, sf_dir: str, limit: int | None = None) -> DataFrame:
+    """Interleaved docs table derived from the sf dir's doc_ids."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from mit_spark.synth import gen_doc
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "spans": [gen_doc(d) for d in pdf["doc_id"]]}
+            )
+
+    ids = load_doc_ids(spark, sf_dir, limit)
+    # generation cost scales with span count; spread ids before generating
+    ids = ids.repartition(spark.sparkContext.defaultParallelism)
+    return ids.mapInPandas(gen, schema=DOCS)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

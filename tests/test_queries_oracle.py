@@ -1,0 +1,68 @@
+"""Local replica of the driver's correctness gate: run every registered
+query on Spark AND its DuckDB oracle SQL on the same parquet tables, then
+compare row count, column names, and order-insensitive values."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("MIT_SPARK_TEST_SF", "/root/testdata/sf0.001")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if v is None:
+        return ""
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = list(r)
+        out.append(tuple(_norm(vals[i]) for i in order))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _query_names():
+    from mit_spark.queries import QUERIES
+
+    return sorted(QUERIES)
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_matches_oracle(spark, ddb, name):
+    from mit_spark.queries import QUERIES
+
+    builder, sql = QUERIES[name]
+    sdf = builder(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    if sql is None:
+        assert len(srows) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    drel = ddb.execute(sql)
+    dcols = [d[0] for d in drel.description]
+    drows = drel.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
+    a, b = _canon(srows, scols), _canon(drows, dcols)
+    mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
+    assert a == b, f"{name}: value mismatch at {mism}: " + "; ".join(
+        f"spark={a[i]} duck={b[i]}" for i in mism
+    )
