@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()       — flagship extraction pipeline on sf0.001 (smoke check).
+queries()     — every implemented operator family from SURVEY.md §2 as a
+                (spark, sf_dir) -> DataFrame callable.
+oracle_sql()  — DuckDB-equivalent SQL for each SQL-expressible query
+                (identical column names/values; media-detection entries are
+                deliberately omitted -> rows-only check; their strong oracle
+                is the numpy golden-equality suite in tests/).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from mit_spark.session import apply_worker_env  # noqa: E402
+
+apply_worker_env()
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: detect -> OCR -> order -> emit over the interleaved docs
+    table derived from /root/testdata/sf0.001."""
+    from mit_spark.config import DetectorOptions, PipelineConfig
+    from mit_spark.plans.pipeline import extract
+    from mit_spark.sources.docs_source import load_docs
+
+    cfg = PipelineConfig(detector=DetectorOptions(detect_size=512))
+    docs = load_docs(spark, "/root/testdata/sf0.001")
+    return extract(spark, docs, cfg)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from mit_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: builder for name, (builder, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mit_spark.queries import QUERIES
+
+    return {name: sql for name, (_builder, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,111 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship extraction is measured as docs/sec + spans/sec over the
+derived interleaved docs table (detect_size=1024 profile; BENCH/BASELINE.md
+records the reference's 2.27 s/image single-node number for comparison).
+Full plans are forced with the noop sink (no collect, no disk cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# queries benchmarked beyond the flagship (a representative operator mix)
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_topk_revenue",
+    "q5_region_revenue",
+    "user_sessions",
+    "hourly_event_stats",
+    "exact_dedup",
+    "minhash_near_dup",
+    "simhash_fingerprint",
+    "embedding_cosine_topk",
+    "embedding_lsh_buckets",
+    "boilerplate_strip",
+]
+
+FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run(sf_dir: str, cpus: str, *, make_session=None) -> dict:
+    from mit_spark.queries import QUERIES
+    from mit_spark.session import make_session as _mk
+
+    mk = make_session or _mk
+    spark = mk(master=f"local[{cpus}]", app_name="mit-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # flagship extraction throughput
+    from mit_spark.config import DetectorOptions, PipelineConfig
+    from mit_spark.plans.pipeline import extract, extract_flat
+    from mit_spark.sources.docs_source import load_docs
+
+    cfg = PipelineConfig(detector=DetectorOptions(detect_size=1024))
+    docs = load_docs(spark, sf_dir, limit=FLAGSHIP_DOC_LIMIT).cache()
+    n_docs = docs.count()
+    n_in_spans = docs.selectExpr("sum(size(spans))").collect()[0][0]
+
+    t0 = time.time()
+    out = extract(spark, docs, cfg)
+    _force(out)
+    flagship_sec = time.time() - t0
+    timings["flagship_extract"] = round(flagship_sec, 3)
+
+    docs_per_sec = n_docs / flagship_sec
+    spans_per_sec = n_in_spans / flagship_sec
+    docs.unpersist()
+
+    for name in BENCH_QUERIES:
+        builder, _ = QUERIES[name]
+        t0 = time.time()
+        _force(builder(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "bench_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "flagship": {
+            "n_docs": int(n_docs),
+            "n_input_spans": int(n_in_spans),
+            "docs_per_sec": round(docs_per_sec, 3),
+            "spans_per_sec": round(spans_per_sec, 3),
+            "detect_size": cfg.detector.detect_size,
+        },
+        "cpus": int(cpus),
+    }
+    spark.stop()
+    return result
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    print(json.dumps(run(sf_dir, cpus)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,156 @@
+"""Bucketed, resumable execution with per-partition lineage (north rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+Documents are hash-bucketed by doc_id (the parquet stand-in for Iceberg's
+``bucket(N, doc_id)`` partition transform — SURVEY.md §4.2; the writeTo()
+Iceberg path drops in at _write_bucket when the runtime jar is present).
+Buckets are processed in waves; each finished wave appends
+  lineage(bucket_id, status, n_docs, n_spans, started_at, finished_at, error)
+rows, and a resumed run anti-joins pending buckets against 'done' lineage —
+a killed 10^12-doc job loses at most one wave, never recomputes finished
+buckets, and one poisoned bucket records status='failed' instead of killing
+the job (reference error model, SURVEY.md §2.10).
+
+Layout under ``out_dir``:
+    extracted/bucket_id=<N>/*.parquet     (hive-partitioned -> pruning)
+    _lineage/*.parquet
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import traceback
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mit_spark.config import PipelineConfig
+from mit_spark.schema import LINEAGE
+
+
+def bucket_of(col, n_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def _lineage_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_lineage")
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    path = _lineage_dir(out_dir)
+    try:
+        return spark.read.schema(LINEAGE).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], LINEAGE)
+
+
+def done_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    lin = read_lineage(spark, out_dir)
+    return {
+        r["bucket_id"]
+        for r in lin.filter(F.col("status") == "done").select("bucket_id").distinct().collect()
+    }
+
+
+def _append_lineage(spark: SparkSession, out_dir: str, rows: list[dict]) -> None:
+    spark.createDataFrame(
+        [
+            (
+                r["bucket_id"],
+                r["status"],
+                r.get("n_docs"),
+                r.get("n_spans"),
+                r.get("started_at"),
+                r.get("finished_at"),
+                r.get("error"),
+            )
+            for r in rows
+        ],
+        LINEAGE,
+    ).coalesce(1).write.mode("append").parquet(_lineage_dir(out_dir))
+
+
+def run_extraction(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    out_dir: str,
+    config: PipelineConfig | None = None,
+    *,
+    resume: bool = True,
+    wave_size: int | None = None,
+    max_waves: int | None = None,
+) -> dict:
+    """Process all pending buckets; returns run metrics. ``max_waves`` exists
+    for kill/resume tests (stop after k waves like a preempted job)."""
+    from mit_spark.plans.pipeline import extract
+
+    config = config or PipelineConfig()
+    n_buckets = config.n_buckets
+    wave_size = wave_size or max(n_buckets // 4, 1)
+
+    docs = docs_df.withColumn("_bucket", bucket_of(F.col("doc_id"), n_buckets))
+    done = done_buckets(spark, out_dir) if resume else set()
+    pending = [b for b in range(n_buckets) if b not in done]
+
+    metrics = {"buckets_done_prior": len(done), "buckets_processed": 0, "n_docs": 0, "n_spans": 0}
+    waves = [pending[i : i + wave_size] for i in range(0, len(pending), wave_size)]
+    if max_waves is not None:
+        waves = waves[:max_waves]
+
+    for wave in waves:
+        started = datetime.datetime.now()
+        wave_docs = docs.filter(F.col("_bucket").isin(wave))
+        try:
+            out = extract(spark, wave_docs.drop("_bucket"), config)
+            out = out.withColumn("bucket_id", bucket_of(F.col("doc_id"), n_buckets))
+            out.write.mode("append").partitionBy("bucket_id").parquet(
+                os.path.join(out_dir, "extracted")
+            )
+            stats = (
+                out.groupBy("bucket_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.size("spans")).alias("n_spans"),
+                )
+                .collect()
+            )
+            by_bucket = {r["bucket_id"]: r for r in stats}
+            finished = datetime.datetime.now()
+            rows = []
+            for b in wave:
+                r = by_bucket.get(b)
+                rows.append(
+                    {
+                        "bucket_id": b,
+                        "status": "done",
+                        "n_docs": int(r["n_docs"]) if r else 0,
+                        "n_spans": int(r["n_spans"]) if r else 0,
+                        "started_at": started,
+                        "finished_at": finished,
+                        "error": None,
+                    }
+                )
+                metrics["buckets_processed"] += 1
+                metrics["n_docs"] += rows[-1]["n_docs"]
+                metrics["n_spans"] += rows[-1]["n_spans"]
+            _append_lineage(spark, out_dir, rows)
+        except Exception as e:  # poisoned wave -> lineage 'failed', job continues
+            _append_lineage(
+                spark,
+                out_dir,
+                [
+                    {
+                        "bucket_id": b,
+                        "status": "failed",
+                        "started_at": started,
+                        "finished_at": datetime.datetime.now(),
+                        "error": f"{e}\n{traceback.format_exc()[:2000]}",
+                    }
+                    for b in wave
+                ],
+            )
+    return metrics
+
+
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "extracted")).drop("bucket_id")

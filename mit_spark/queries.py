@@ -405,3 +405,431 @@ def event_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_total")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# text analysis over documents (training-data-pipeline operators)
+
+from mit_spark.functions.textclean import clean_text_sql, clean_text_col  # noqa: E402
+from mit_spark.functions import textstats as TS  # noqa: E402
+
+_SW_SQL = "('" + "','".join(TS.STOPWORDS) + "')"
+
+
+@register(
+    "doc_token_stats",
+    f"""
+    SELECT doc_id,
+           len(split(trim(text), ' ')) AS n_tokens,
+           round(length(regexp_replace(text, ' ', '', 'g'))
+                 / len(split(trim(text), ' ')), 4) AS avg_token_len,
+           round(len(list_filter(split(trim(text), ' '), x -> x IN {_SW_SQL}))
+                 / len(split(trim(text), ' ')), 4) AS stopword_ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TS.token_count_col(t).alias("n_tokens"),
+        TS.avg_token_len_col(t).alias("avg_token_len"),
+        TS.stopword_ratio_col(t).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_quality_by_lang",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             0.5 * least(len(split(trim(text), ' ')) / 100.0, 1.0)
+             + 0.5 * least(4 * len(list_filter(split(trim(text), ' '),
+                                               x -> x IN {_SW_SQL}))
+                           / len(split(trim(text), ' ')), 1.0) AS q
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs, round(avg(q), 4) AS avg_quality
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = TS.tokens_col(t)
+    sw = F.filter(toks, lambda x: x.isin(*TS.STOPWORDS))
+    q = 0.5 * F.least(F.size(toks) / F.lit(100.0), F.lit(1.0)) + 0.5 * F.least(
+        4 * F.size(sw) / F.size(toks), F.lit(1.0)
+    )
+    return (
+        d.select("lang", q.alias("q"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_quality"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "boilerplate_strip",
+    f"""
+    SELECT doc_id,
+           {clean_text_sql("('<nav><ul><li>home</li></ul></nav><article><p>' "
+                           "|| text || '</p></article>"
+                           "<script>var t=1;</script>"
+                           "<footer>footer cruft</footer>')")} AS clean_text
+    FROM documents ORDER BY doc_id
+    """,
+)
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-branch operator on its own: wrap each document in the
+    boilerplate skeleton, then strip it with the SAME Catalyst expression
+    chain the pipeline uses — the oracle applies the identical regex chain
+    in DuckDB, proving the text path end-to-end in SQL."""
+    d = read_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("<nav><ul><li>home</li></ul></nav><article><p>"),
+        F.col("text"),
+        F.lit("</p></article><script>var t=1;</script><footer>footer cruft</footer>"),
+    )
+    return d.select("doc_id", clean_text_col(raw).alias("clean_text")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# deduplication family
+
+
+@register(
+    "exact_dedup",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS fingerprint,
+           count(*) AS n_dups, min(doc_id) AS first_doc
+    FROM documents
+    GROUP BY 1
+    ORDER BY fingerprint
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(TS.fingerprint_col(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("first_doc"))
+        .orderBy("fingerprint")
+    )
+
+
+def _minhash_sql() -> str:
+    """DuckDB SQL for minhash-LSH near-dup candidates. The corpus is
+    documents UNION a perturbed copy (last word dropped, doc_id+100000) so
+    true near-dup pairs exist; 6 shingle-minhashes, 3 bands of 2."""
+    mh = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> md5(s || ':{j}'))) AS mh{j}" for j in range(6)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, split(trim(text), ' ') AS words FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             (split(trim(text), ' '))[1:len(split(trim(text), ' ')) - 1] AS words
+      FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+                            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS shingles
+      FROM corpus
+    ), sigs AS (
+      SELECT doc_id,
+         {mh}
+      FROM shingled WHERE len(shingles) > 0
+    ), bands AS (
+      SELECT doc_id, unnest([mh0 || mh1, mh2 || mh3, mh4 || mh5]) AS band
+      FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("minhash_near_dup", _minhash_sql())
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidates: shingle -> minhash -> band ->
+    bucket self-join (SURVEY/prompt dedup operator #2)."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("words")
+    )
+    perturbed = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.slice("words", 1, F.size("words") - 1).alias("words"),
+    )
+    corpus = d.unionByName(perturbed)
+    n = F.size("words")
+    shingles = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("words", i),
+                F.element_at("words", i + 1),
+                F.element_at("words", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = corpus.select("doc_id", shingles.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    def _mh(j: int):
+        # NB: must stay a ONE-parameter lambda — F.transform dispatches on
+        # arity, and a second (defaulted) param would receive the array index
+        suffix = F.lit(f":{j}")
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(s, suffix)))
+        ).alias(f"mh{j}")
+
+    mh = [_mh(j) for j in range(6)]
+    sigs = shingled.select("doc_id", *mh)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat("mh0", "mh1"),
+                F.concat("mh2", "mh3"),
+                F.concat("mh4", "mh5"),
+            )
+        ).alias("band"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_distinct(split(trim(text), ' ')) AS words FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_filter(a.words, x -> list_contains(b.words, x)))
+                 / (len(a.words) + len(b.words)
+                    - len(list_filter(a.words, x -> list_contains(b.words, x)))), 4)
+             AS jaccard
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    ORDER BY doc_a
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split(F.trim("text"), " ")).alias("words")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = F.size(F.col("a.words")) + F.size(F.col("b.words")) - inter
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a")
+    )
+
+
+def _simhash_sql() -> str:
+    bits = ",\n           ".join(
+        "max(CASE WHEN j = {j} AND s > 0 THEN '1' WHEN j = {j} THEN '0' END)".format(j=j)
+        for j in range(1, 17)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(split(trim(text), ' '))) AS w FROM documents
+    ), sums AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN substr(md5(w), j, 1) >= '8' THEN 1 ELSE -1 END) AS s
+      FROM tok, unnest(range(1, 17)) t(j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id, concat({bits}) AS simhash
+    FROM sums GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("simhash_fingerprint", _simhash_sql())
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash from md5 nibbles of distinct tokens (dedup operator #3:
+    hex digit >= '8' contributes +1 to the bit, else -1)."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.trim("text"), " "))).alias("w")
+    ).withColumn("h", F.md5("w"))
+    bits = [
+        F.when(
+            F.sum(F.when(F.substring("h", j, 1) >= "8", 1).otherwise(-1)) > 0, "1"
+        )
+        .otherwise("0")
+        .alias(f"b{j}")
+        for j in range(1, 17)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bits)
+    return agg.select(
+        "doc_id", F.concat(*[F.col(f"b{j}") for j in range(1, 17)]).alias("simhash")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+
+
+@register(
+    "embedding_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT q_id, n_id, sim FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             round(list_cosine_similarity(q.e, c.e), 6) AS sim,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id) AS rn
+      FROM q JOIN c ON q.vec_id <> c.vec_id
+    ) WHERE rn <= 5
+    ORDER BY q_id, sim DESC, n_id
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (similarity-search baseline): broadcast the
+    query side, JVM-side zip_with/aggregate dot products — no UDF."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = F.broadcast(emb.filter(F.col("vec_id") < 8).alias("q"))
+    c = emb.alias("c")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    qe, ce = F.col("q.e"), F.col("c.e")
+    cos = dot(qe, ce) / (F.sqrt(dot(qe, qe)) * F.sqrt(dot(ce, ce)))
+    joined = q.join(c, F.col("q.vec_id") != F.col("c.vec_id")).select(
+        F.col("q.vec_id").alias("q_id"),
+        F.col("c.vec_id").alias("n_id"),
+        cos.alias("cos_raw"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("n_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "n_id", F.round("cos_raw", 6).alias("sim"))
+        .orderBy("q_id", F.desc("sim"), "n_id")
+    )
+
+
+@register(
+    "embedding_label_norms",
+    """
+    SELECT label, count(*) AS n_vecs,
+           round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def embedding_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "e", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        emb.select("label", F.sqrt(dot).alias("norm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.round(F.avg("norm"), 4).alias("avg_norm"))
+        .orderBy("label")
+    )
+
+
+def _lsh_sql() -> str:
+    planes = []
+    for hid in range(4):
+        planes.append(
+            f"list_sum(list_transform(range(1, 65), d -> e[d] * "
+            f"(CASE WHEN substr(md5('{hid}:' || d), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)))"
+        )
+    bucket = " || ".join(f"(CASE WHEN {p} > 0 THEN '1' ELSE '0' END)" for p in planes)
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec FROM (
+      SELECT vec_id, {bucket} AS bucket FROM v
+    ) GROUP BY bucket ORDER BY bucket
+    """
+
+
+@register("embedding_lsh_buckets", _lsh_sql())
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing (the ANN scale path): 4 md5-derived hyperplanes,
+    bucket = sign bits of the projections — pure Catalyst expressions."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def proj(hid: int):
+        weighted = F.transform(
+            "e",
+            lambda x, i: x
+            * F.when(
+                F.substring(F.md5(F.concat(F.lit(f"{hid}:"), (i + 1).cast("string"))), 1, 1)
+                >= "8",
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        return F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
+
+    bucket = F.concat(
+        *[F.when(proj(h) > 0, "1").otherwise("0") for h in range(4)]
+    ).alias("bucket")
+    return (
+        emb.select("vec_id", bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# extraction pipeline entries (media path is not SQL-expressible -> the
+# driver records rows-only checks for these; the strong oracle is the numpy
+# golden equality in tests/test_pipeline_e2e.py)
+
+from mit_spark.config import DetectorOptions, PipelineConfig  # noqa: E402
+
+FLAGSHIP_CFG = PipelineConfig(detector=DetectorOptions(detect_size=1024))
+
+
+@register("flagship_extract", None)
+def flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mit_spark.plans.pipeline import extract
+    from mit_spark.sources.docs_source import load_docs
+
+    return extract(spark, load_docs(spark, sf_dir), FLAGSHIP_CFG)
+
+
+@register("docs_span_stats", None)
+def docs_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mit_spark.sources.docs_source import load_docs
+
+    docs = load_docs(spark, sf_dir)
+    return (
+        docs.select(F.explode("spans").alias("s"))
+        .groupBy(F.col("s.kind").alias("kind"))
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+        .orderBy("kind")
+    )
