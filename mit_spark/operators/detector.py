@@ -45,7 +45,7 @@ def infer(
         shape = (resized.shape[0], resized.shape[1])
         db, mask = forward(resized[None, ...])
 
-    mask2d = mask[0, 0]
+    mask2d = mask[0, 0] if opts.emit_mask else None
 
     boxes_b, scores_b = representer_call(
         db,
@@ -67,6 +67,8 @@ def infer(
         if q.area() >= 16.0:  # dbnet lib.rs:206
             quads.append(q)
 
+    if mask2d is None:
+        return quads, None
     # mask post-proc (dbnet lib.rs:209-218): x255 clamp, resize x2, strip pad
     m8 = np.clip(mask2d * 255.0, 0.0, 255.0).astype(np.uint8)
     m8 = ops.resize_mask(m8, m8.shape[1] * 2, m8.shape[0] * 2, "bilinear")
@@ -116,12 +118,13 @@ def detect(
                 ),
             )
 
-    if add_border is not None:  # common.rs:52-56
+    if add_border is not None and mask is not None:  # common.rs:52-56
         w, h = add_border
         mask = ops.remove_border_mask(mask, w, h)
 
     if pre.rotate:  # common.rs:58-77: un-rotate mask + remap (x,y)->(y, -x+h)
-        mask = ops.rotate_left_mask(mask)
+        if mask is not None:
+            mask = ops.rotate_left_mask(mask)
         quads = [
             Quad([(int(y), int(-x + img_h)) for x, y in q.pts], q.score) for q in quads
         ]

@@ -34,9 +34,13 @@ def synthetic_forward(batch: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     mask that infer() upscales by 2 (dbnet/src/lib.rs:209-218).
     """
     b, h, w, _ = batch.shape
-    ink = ((batch >= INK_LO) & (batch <= INK_HI)).all(axis=3)
+    # uint8 wraparound trick: x in [LO, HI] <=> (x - LO) <= (HI - LO) in u8;
+    # one temp instead of two bool arrays (memory-bound at high worker counts)
+    ink = ((batch - np.uint8(INK_LO)) <= np.uint8(INK_HI - INK_LO)).all(axis=3)
     prob = np.where(ink, P_INK, P_BG).astype(np.float32)
-    db = np.repeat(prob[:, None, :, :], 2, axis=1)
+    # single-channel heads: the representer slices channel 0 (dbnet.rs:76)
+    # and our mask consumer is optional — smaller Arrow/numpy traffic
+    db = prob[:, None, :, :]
     h2, w2 = h // 2, w // 2
     pooled = prob[:, : h2 * 2, : w2 * 2].reshape(b, h2, 2, w2, 2).mean(axis=(2, 4))
     mask = pooled[:, None, :, :]

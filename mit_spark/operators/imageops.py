@@ -187,14 +187,33 @@ def resize(img: np.ndarray, width: int, height: int, interpolation: str = "bilin
     f = img.astype(np.float32)
     # rows first (H, w, [3]) then columns — avoids the w*H-sized double
     # fancy-index temporaries of the naive formulation
+    # in-place accumulation trims large float temporaries (memory-bandwidth
+    # is the scaling bottleneck at 32 workers)
     if img.ndim == 3:
-        rows = f[y0] * (1 - fy)[:, None, None] + f[y1] * fy[:, None, None]
-        out = rows[:, x0] * (1 - fx)[None, :, None] + rows[:, x1] * fx[None, :, None]
+        rows = f[y0]
+        rows *= (1 - fy)[:, None, None]
+        r1 = f[y1]
+        r1 *= fy[:, None, None]
+        rows += r1
+        out = rows[:, x0]
+        out *= (1 - fx)[None, :, None]
+        o1 = rows[:, x1]
+        o1 *= fx[None, :, None]
+        out += o1
     else:
-        rows = f[y0] * (1 - fy)[:, None] + f[y1] * fy[:, None]
-        out = rows[:, x0] * (1 - fx)[None, :] + rows[:, x1] * fx[None, :]
+        rows = f[y0]
+        rows *= (1 - fy)[:, None]
+        r1 = f[y1]
+        r1 *= fy[:, None]
+        rows += r1
+        out = rows[:, x0]
+        out *= (1 - fx)[None, :]
+        o1 = rows[:, x1]
+        o1 *= fx[None, :]
+        out += o1
     # convex combination of uint8 stays in [0, 255]; +0.5 then truncate == round
-    return (out + np.float32(0.5)).astype(np.uint8)
+    out += np.float32(0.5)
+    return out.astype(np.uint8)
 
 
 def resize_float(arr: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -77,7 +77,9 @@ def extract_flat(spark: SparkSession, docs_df: DataFrame, config: PipelineConfig
     # spread spans of media-heavy documents across the cluster (explode gave
     # span rows; hash-repartition breaks doc-locality so one heavy doc
     # occupies many tasks, not one)
-    parallelism = spark.sparkContext.defaultParallelism * 2
+    # fine-grained tasks (8x slots): per-span detect cost is 30-600 ms, so
+    # small tasks bound the straggler tail of the stage
+    parallelism = spark.sparkContext.defaultParallelism * 8
     media_in = media_in.repartition(parallelism, F.xxhash64("doc_id", "offset"))
 
     media_out = media_in.mapInPandas(
