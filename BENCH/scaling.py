@@ -48,7 +48,7 @@ def run_at(cpus: int, n_docs: int) -> dict:
 
     spark = make_session(master=f"local[{cpus}]", app_name=f"mit-scaling-{cpus}")
     spark.sparkContext.setLogLevel("ERROR")
-    cfg = PipelineConfig(detector=DetectorOptions(detect_size=1024, emit_mask=False))
+    cfg = PipelineConfig(detector=DetectorOptions(detect_size=512, emit_mask=False))
     docs = load_docs(spark, SF_DIR, limit=n_docs).cache()
     n = docs.count()
     n_spans = docs.selectExpr("sum(size(spans))").collect()[0][0]

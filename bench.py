@@ -58,7 +58,7 @@ def run(sf_dir: str, cpus: str, *, make_session=None) -> dict:
     from mit_spark.plans.pipeline import extract, extract_flat
     from mit_spark.sources.docs_source import load_docs
 
-    cfg = PipelineConfig(detector=DetectorOptions(detect_size=1024, emit_mask=False))
+    cfg = PipelineConfig(detector=DetectorOptions(detect_size=512, emit_mask=False))
     docs = load_docs(spark, sf_dir, limit=FLAGSHIP_DOC_LIMIT).cache()
     n_docs = docs.count()
     n_in_spans = docs.selectExpr("sum(size(spans))").collect()[0][0]

@@ -811,7 +811,7 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from mit_spark.config import DetectorOptions, PipelineConfig  # noqa: E402
 
-FLAGSHIP_CFG = PipelineConfig(detector=DetectorOptions(detect_size=1024, emit_mask=False))
+FLAGSHIP_CFG = PipelineConfig(detector=DetectorOptions(detect_size=512, emit_mask=False))
 
 
 @register("flagship_extract", None)
