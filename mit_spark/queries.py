@@ -833,3 +833,124 @@ def docs_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_spans"))
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# reading order as SQL (SURVEY.md §2.6 O7) — the same RTL/TTB column-band
+# rule the media path applies in numpy (mit_spark.operators.ordering),
+# exercised through the SQL gate over synthetic quads derived from lineitem
+
+
+@register(
+    "reading_order_sql",
+    """
+    WITH quads AS (
+      SELECT l_orderkey AS page, l_linenumber AS item,
+             CAST((l_partkey % 450) + 25 AS DOUBLE)  AS x_center,
+             CAST(l_suppkey % 600 AS DOUBLE)          AS y_top,
+             CAST(20 + l_linenumber * 8 AS DOUBLE)    AS width
+      FROM lineitem WHERE l_orderkey % 97 = 0
+    ), banded AS (
+      SELECT page, item, x_center, y_top,
+             floor((max(x_center) OVER (PARTITION BY page) - x_center)
+                   / greatest(median(width) OVER (PARTITION BY page), 1.0)) AS band
+      FROM quads
+    )
+    SELECT page, item,
+           row_number() OVER (PARTITION BY page
+                              ORDER BY band, y_top, x_center DESC, item) AS rank
+    FROM banded
+    ORDER BY page, rank
+    """,
+)
+def reading_order_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+    quads = l.select(
+        F.col("l_orderkey").alias("page"),
+        F.col("l_linenumber").alias("item"),
+        ((F.col("l_partkey") % 450) + 25).cast("double").alias("x_center"),
+        (F.col("l_suppkey") % 600).cast("double").alias("y_top"),
+        (20 + F.col("l_linenumber") * 8).cast("double").alias("width"),
+    )
+    wp = Window.partitionBy("page")
+    band = F.floor(
+        (F.max("x_center").over(wp) - F.col("x_center"))
+        / F.greatest(F.expr("percentile(width, 0.5)").over(wp), F.lit(1.0))
+    )
+    wo = Window.partitionBy("page").orderBy(
+        "band", "y_top", F.desc("x_center"), "item"
+    )
+    return (
+        quads.withColumn("band", band)
+        .withColumn("rank", F.row_number().over(wo))
+        .select("page", "item", "rank")
+        .orderBy("page", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations + distinct aggregation
+
+
+@register(
+    "repeat_customers_intersect",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    ORDER BY custkey
+    """,
+)
+def repeat_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    early = o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    late = o.filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return early.intersect(late).orderBy("custkey")
+
+
+@register(
+    "churned_customers_except",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    ORDER BY custkey
+    """,
+)
+def churned_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    early = o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    late = o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return early.exceptAll(late).distinct().orderBy("custkey")
+
+
+@register(
+    "supplier_distinct_parts",
+    """
+    SELECT l_suppkey AS suppkey,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_items
+    FROM lineitem GROUP BY l_suppkey
+    HAVING count(DISTINCT l_partkey) >= 3
+    ORDER BY suppkey
+    """,
+)
+def supplier_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .filter(F.col("n_parts") >= 3)
+        .orderBy("suppkey")
+    )

@@ -28,8 +28,14 @@ def load_doc_ids(spark: SparkSession, sf_dir: str, limit: int | None = None) -> 
     return ids
 
 
-def load_docs(spark: SparkSession, sf_dir: str, limit: int | None = None) -> DataFrame:
-    """Interleaved docs table derived from the sf dir's doc_ids."""
+def load_docs(
+    spark: SparkSession, sf_dir: str, limit: int | None = None, replicate: int = 1
+) -> DataFrame:
+    """Interleaved docs table derived from the sf dir's doc_ids.
+
+    ``replicate`` > 1 deterministically widens the corpus (benchmark scale
+    knob): copy r gets doc_ids "doc<r>-%08d", which hash to fresh span
+    layouts through the same generator."""
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -42,6 +48,16 @@ def load_docs(spark: SparkSession, sf_dir: str, limit: int | None = None) -> Dat
             )
 
     ids = load_doc_ids(spark, sf_dir, limit)
+    if replicate > 1:
+        tail = F.substring_index("doc_id", "-", -1)
+        copies = [ids] + [
+            ids.select(F.concat(F.lit(f"doc{r}-"), tail).alias("doc_id"))
+            for r in range(1, replicate)
+        ]
+        base = copies[0]
+        for c in copies[1:]:
+            base = base.unionByName(c)
+        ids = base
     # generation cost scales with span count; spread ids before generating
     ids = ids.repartition(spark.sparkContext.defaultParallelism)
     return ids.mapInPandas(gen, schema=DOCS)
