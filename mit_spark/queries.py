@@ -929,7 +929,9 @@ def churned_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")).select(
         F.col("o_custkey").alias("custkey")
     )
-    return early.exceptAll(late).distinct().orderBy("custkey")
+    # subtract == EXCEPT DISTINCT (exceptAll would be bag difference: a key
+    # with more early orders than late orders would wrongly survive)
+    return early.subtract(late).orderBy("custkey")
 
 
 @register(
