@@ -63,6 +63,11 @@ def run(sf_dir: str, cpus: str, *, make_session=None) -> dict:
     n_docs = docs.count()
     n_in_spans = docs.selectExpr("sum(size(spans))").collect()[0][0]
 
+    # warmup: spawn+import python workers, JIT codegen (one small full pass —
+    # same exclusion the reference's criterion benches make for model load)
+    warm = load_docs(spark, sf_dir, limit=200)
+    _force(extract(spark, warm, cfg))
+
     t0 = time.time()
     out = extract(spark, docs, cfg)
     _force(out)

@@ -600,11 +600,26 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # pairs per band bucket WITHOUT a self-join (a join would recompute the
+    # whole shingle->minhash lineage for both sides): group docs per band,
+    # expand sorted pairwise combinations with higher-order functions
+    buckets = (
+        bands.groupBy("band")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice("docs", i + 2, F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
