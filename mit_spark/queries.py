@@ -971,3 +971,337 @@ def supplier_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_parts") >= 3)
         .orderBy("suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# text analysis II — BPE-ish tokenization, rolling-hash fingerprint,
+# n-gram language-ID (training-data-pipeline operator set)
+
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "token_count_bpe",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens,
+           len(split(trim(text), ' ')) AS n_ws_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (letter runs /
+    digit runs / single punctuation) next to the whitespace count — both
+    pure Catalyst (regexp_extract_all is codegen'd JVM regex)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_PAT}', 0)"))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "rolling_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(list_transform(split(trim(text), ' '),
+                                      w -> CAST(ascii(w) * 31 + length(w) * 7 AS BIGINT)),
+                       (acc, k) -> (acc * 131 + k) % 1000000007) AS rolling_fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via a word-level polynomial rolling hash
+    (base 131 mod 1e9+7), the order-sensitive cousin of exact_dedup's md5:
+    reordered words change the fingerprint. Left-to-right integer fold is
+    bit-identical across engines (DuckDB list_reduce seeds with the first
+    element; Spark's aggregate from 0 yields the same first step since
+    0*131 + k0 = k0)."""
+    d = read_table(spark, sf_dir, "documents")
+    keys = F.transform(
+        F.split(F.trim("text"), " "),
+        lambda w: (F.ascii(w) * 31 + F.length(w) * 7).cast("long"),
+    )
+    fp = F.aggregate(keys, F.lit(0).cast("long"), lambda acc, k: (acc * 131 + k) % 1000000007)
+    return d.select("doc_id", fp.alias("rolling_fp")).orderBy("doc_id")
+
+
+def _lang_id_sql() -> str:
+    return """
+    WITH seed_tok AS (
+      SELECT lang, unnest(split(trim(text), ' ')) AS word
+      FROM documents WHERE doc_id % 5 = 0
+    ), lw AS (
+      SELECT lang, word, count(*) AS cnt_lw FROM seed_tok GROUP BY lang, word
+    ), lifted AS (
+      SELECT lang, word, cnt_lw,
+             CAST(cnt_lw * sum(cnt_lw) OVER () AS DOUBLE)
+               / (sum(cnt_lw) OVER (PARTITION BY lang)
+                  * sum(cnt_lw) OVER (PARTITION BY word)) AS lift
+      FROM lw
+    ), markers AS (
+      SELECT lang AS m_lang, word, 9 - rnk AS weight FROM (
+        SELECT lang, word, cnt_lw, lift,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY lift DESC, cnt_lw DESC, word) AS rnk
+        FROM lifted
+      ) WHERE rnk <= 8
+    ), doc_tok AS (
+      SELECT doc_id, lang, unnest(split(trim(text), ' ')) AS word FROM documents
+    ), dw AS (
+      SELECT doc_id, lang, word, count(*) AS n_occ FROM doc_tok GROUP BY doc_id, lang, word
+    ), scores AS (
+      SELECT doc_id, lang, m_lang, sum(n_occ * weight) AS score
+      FROM dw JOIN markers ON dw.word = markers.word
+      GROUP BY doc_id, lang, m_lang
+    ), pred AS (
+      SELECT doc_id, lang, m_lang AS pred_lang FROM (
+        SELECT doc_id, lang, m_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, m_lang) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT d.lang AS actual_lang,
+           coalesce(p.pred_lang, 'und') AS pred_lang,
+           count(*) AS n_docs
+    FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register("language_id_ngram", _lang_id_sql())
+def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by n-gram(word)-profile scoring: a labeled seed slice
+    (doc_id % 5 = 0) yields per-language marker words ranked by lift
+    (P(word|lang) / P(word)); every document is then classified by the
+    integer-weighted marker-hit score (weights 8..1 by marker rank — integer
+    sums are shuffle-order independent, so the argmax matches the oracle
+    exactly). Output is the confusion matrix vs the labeled lang column.
+
+    Scale shape: profile build = one agg over the seed sample; the marker
+    table (langs x 8 rows) is broadcast, so classification is map-side —
+    no shuffle of the corpus beyond the per-doc word count."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split(F.trim("text"), " ")).alias("word"))
+
+    seed = tok.filter(F.col("doc_id") % 5 == 0)
+    lw = seed.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt_lw"))
+    w_all = Window.partitionBy()
+    w_lang = Window.partitionBy("lang")
+    w_word = Window.partitionBy("word")
+    lift = (F.col("cnt_lw") * F.sum("cnt_lw").over(w_all)).cast("double") / (
+        F.sum("cnt_lw").over(w_lang) * F.sum("cnt_lw").over(w_word)
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("lift"), F.desc("cnt_lw"), F.asc("word"))
+    )
+    markers = (
+        lw.withColumn("lift", lift)
+        .withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 8)
+        .select(F.col("lang").alias("m_lang"), "word", (9 - F.col("rnk")).alias("weight"))
+    )
+
+    dw = tok.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("n_occ"))
+    scores = (
+        dw.join(F.broadcast(markers), "word")
+        .groupBy("doc_id", "lang", "m_lang")
+        .agg(F.sum(F.col("n_occ") * F.col("weight")).alias("score"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("m_lang"))
+    )
+    pred = (
+        scores.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("m_lang").alias("pred_lang"))
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id", "left")
+        .groupBy(F.col("lang").alias("actual_lang"),
+                 F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual_lang", "pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search II — embedding near-dup (LSH-pruned) and IVF ANN
+
+
+def _emb_fold_sql(a: str, b: str, op: str) -> str:
+    """Index-order left fold over two DOUBLE[64] lists — bit-identical to
+    Spark's zip_with + aggregate(0.0, +)."""
+    if op == "dot":
+        elem = f"{a}[i] * {b}[i]"
+    else:  # squared L2
+        elem = f"({a}[i] - {b}[i]) * ({a}[i] - {b}[i])"
+    return (
+        f"list_reduce(list_transform(range(1, 65), i -> CAST({elem} AS DOUBLE)),"
+        f" (acc, x) -> acc + x)"
+    )
+
+
+def _near_dup_sql() -> str:
+    planes = []
+    for hid in range(4):
+        planes.append(
+            f"list_reduce(list_transform(range(1, 65), d -> CAST(e[d] * "
+            f"(CASE WHEN substr(md5('{hid}:' || d), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)"
+            f" AS DOUBLE)), (acc, x) -> acc + x)"
+        )
+    bucket = " || ".join(f"(CASE WHEN {p} > 0 THEN '1' ELSE '0' END)" for p in planes)
+    dot = _emb_fold_sql("a.e", "b.e", "dot")
+    na = _emb_fold_sql("a.e", "a.e", "dot")
+    nb = _emb_fold_sql("b.e", "b.e", "dot")
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         bucketed AS (SELECT vec_id, e, {bucket} AS bucket FROM v)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({dot} / (sqrt({na}) * sqrt({nb})), 6) AS sim
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {dot} / (sqrt({na}) * sqrt({nb})) >= 0.30
+    ORDER BY vec_a, vec_b
+    """
+
+
+@register("embedding_near_dup", _near_dup_sql())
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with LSH candidate pruning:
+    pairs are generated only within a sign-LSH bucket (4 md5-derived
+    hyperplanes -> 16 buckets), then exact cosine >= 0.30 filters the
+    candidates. At 100 TB the bucket equi-join replaces the quadratic
+    cross-join: candidate count scales with bucket occupancy, not n^2."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def proj(hid: int):
+        weighted = F.transform(
+            "e",
+            lambda x, i: x
+            * F.when(
+                F.substring(F.md5(F.concat(F.lit(f"{hid}:"), (i + 1).cast("string"))), 1, 1)
+                >= "8",
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        return F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
+
+    bucket = F.concat(*[F.when(proj(h) > 0, "1").otherwise("0") for h in range(4)])
+    b = emb.select("vec_id", "e", bucket.alias("bucket"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    a, c = b.alias("a"), b.alias("b")
+    cos = dot(F.col("a.e"), F.col("b.e")) / (
+        F.sqrt(dot(F.col("a.e"), F.col("a.e"))) * F.sqrt(dot(F.col("b.e"), F.col("b.e")))
+    )
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.30)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cos_raw", 6).alias("sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _ivf_sql() -> str:
+    d_qc = _emb_fold_sql("v.e", "c.arr", "l2")
+    d_qn = _emb_fold_sql("q.e", "n.e", "l2")
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                      vec_id % 8 AS cell0 FROM embeddings),
+         pos AS (SELECT cell0, unnest(e) AS val, generate_subscripts(e, 1) AS p FROM v),
+         cent AS (
+           SELECT cell0 AS cell, list(round(avg_val, 3) ORDER BY p) AS arr FROM (
+             SELECT cell0, p, avg(val) AS avg_val FROM pos GROUP BY cell0, p
+           ) GROUP BY cell0
+         ),
+         assigned AS (
+           SELECT vec_id, e, cell FROM (
+             SELECT v.vec_id, v.e, c.cell, {d_qc} AS d2,
+                    row_number() OVER (PARTITION BY v.vec_id
+                                       ORDER BY {d_qc}, c.cell) AS rn
+             FROM v CROSS JOIN cent c
+           ) WHERE rn = 1
+         )
+    SELECT q_id, n_id, d2 FROM (
+      SELECT q.vec_id AS q_id, n.vec_id AS n_id, round({d_qn}, 6) AS d2,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {d_qn}, n.vec_id) AS rn
+      FROM assigned q JOIN assigned n
+        ON q.cell = n.cell AND q.vec_id <> n.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rn <= 3
+    ORDER BY q_id, d2, n_id
+    """
+
+
+@register("ann_ivf_topk", _ivf_sql())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: build a coarse quantizer (one Lloyd iteration from the
+    deterministic seed assignment vec_id % 8), assign every vector to its
+    nearest centroid (inverted lists), then answer top-3 L2 queries probing
+    ONLY the query's cell. Scale shape: the centroid table is tiny and
+    broadcast; index build is one positional agg; search cost is bucket-local
+    (n/k candidates per query instead of n). Centroids are rounded to 3dp so
+    both engines' avg() agree bit-for-bit after rounding; distances use
+    index-order folds."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        (F.col("vec_id") % 8).alias("cell0"),
+    )
+    pos = emb.select("cell0", F.posexplode("e").alias("p", "val"))
+    cent = (
+        pos.groupBy("cell0", "p")
+        .agg(F.round(F.avg("val"), 3).alias("avg_val"))
+        .groupBy(F.col("cell0").alias("cell"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "avg_val"))), lambda s: s["avg_val"]
+            ).alias("arr")
+        )
+    )
+
+    def l2(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: (p - q) * (p - q)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    vc = emb.crossJoin(F.broadcast(cent)).withColumn("d2", l2(F.col("e"), F.col("arr")))
+    rn = F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cell"))
+    assigned = vc.withColumn("rn", rn).filter(F.col("rn") == 1).select("vec_id", "e", "cell")
+
+    q = assigned.filter(F.col("vec_id") < 5).alias("q")
+    n = assigned.alias("n")
+    pairs = q.join(
+        n, (F.col("q.cell") == F.col("n.cell")) & (F.col("q.vec_id") != F.col("n.vec_id"))
+    ).select(
+        F.col("q.vec_id").alias("q_id"),
+        F.col("n.vec_id").alias("n_id"),
+        l2(F.col("q.e"), F.col("n.e")).alias("d2_raw"),
+    )
+    rn2 = F.row_number().over(Window.partitionBy("q_id").orderBy("d2_raw", "n_id"))
+    return (
+        pairs.withColumn("rn", rn2)
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "n_id", F.round("d2_raw", 6).alias("d2"))
+        .orderBy("q_id", "d2", "n_id")
+    )
