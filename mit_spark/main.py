@@ -13,7 +13,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# direct `python mit_spark/main.py` invocation (no --py-files): make the
+# package importable from the repo root
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def main(argv=None) -> int:

@@ -1,0 +1,260 @@
+"""Multimodal binary columns — image/video/audio as opaque ``binary``
+payloads with typed metadata, plus decode / resize / frame-sample /
+feature-extract operators over ``mapInPandas`` (training-data-pipeline
+operator set; SURVEY.md §1.1 RawImage mapping).
+
+The reference decodes PNG/JPEG from disk (``RawImage::new``,
+crates/interface/src/image/mod.rs:155-177). This container has no image
+codec libraries, so the engine carries media through a deterministic raw
+container (``MITB``: magic + kind + dims + frame count + packed u8
+payload) and the REAL-codec seam (`decode_external`) is a clearly marked
+STUB: it attempts PIL/cv2/av imports and raises ``NotImplementedError``
+otherwise. Everything Spark-side — schemas, Arrow batch shape, partition
+strategy, UDF signatures — is real and tested; swapping the codec does not
+touch the plan.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_MAGIC = b"MITB"
+_KINDS = {"image": b"I", "video": b"V", "audio": b"A"}
+_KINDS_INV = {v: k for k, v in _KINDS.items()}
+
+MEDIA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("media_ref", StringType(), False),
+        StructField("content", BinaryType(), False),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType(), False),
+                    StructField("width", IntegerType(), False),
+                    StructField("height", IntegerType(), False),
+                    StructField("channels", IntegerType(), False),
+                    StructField("n_frames", IntegerType(), False),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+FRAME = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("content", BinaryType(), False),
+    ]
+)
+
+CHANNEL_STATS = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("channel", IntegerType(), False),
+        StructField("mean", DoubleType(), False),
+        StructField("std", DoubleType(), False),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# codec
+
+
+def encode_media(frames: np.ndarray, kind: str = "image") -> bytes:
+    """Pack (F,H,W,C) or (H,W,C) uint8 into the MITB container."""
+    if frames.ndim == 3:
+        frames = frames[None]
+    f, h, w, c = frames.shape
+    header = _MAGIC + _KINDS[kind] + struct.pack("<HHBH", w, h, c, f)
+    return header + frames.astype(np.uint8).tobytes()
+
+
+def decode_media(data: bytes) -> tuple[str, np.ndarray]:
+    """Unpack MITB container -> (kind, (F,H,W,C) uint8)."""
+    if data[:4] != _MAGIC:
+        raise ValueError("not a MITB container (use decode_external for real codecs)")
+    kind = _KINDS_INV[data[4:5]]
+    w, h, c, f = struct.unpack("<HHBH", data[5:12])
+    arr = np.frombuffer(data[12:], dtype=np.uint8).reshape(f, h, w, c)
+    return kind, arr
+
+
+def decode_external(fmt: str, data: bytes) -> np.ndarray:
+    """STUB — the real-codec seam. PIL/cv2/av are not installed in this
+    container; when they are, this function body is the only change needed
+    (the Spark plumbing above/below is codec-agnostic)."""
+    if fmt in ("png", "jpeg"):
+        try:  # pragma: no cover - libs absent in this container
+            import io
+
+            from PIL import Image
+
+            return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        except ImportError:
+            pass
+    raise NotImplementedError(
+        f"no codec for {fmt!r} in this environment (PIL/cv2/av absent); "
+        "tests/bench use the deterministic MITB container instead"
+    )
+
+
+def synth_media_bytes(media_ref: str) -> tuple[bytes, dict]:
+    """Deterministic media payload for a media_ref: the synth page raster;
+    every 7th ref (by hash) becomes a 4-frame 'video' of rolled variants."""
+    from mit_spark.synth import render_media
+
+    img = render_media(media_ref)
+    sel = int.from_bytes(media_ref.encode()[-2:], "little") % 7
+    if sel == 0:
+        frames = np.stack([np.roll(img, 13 * i, axis=0) for i in range(4)])
+        kind = "video"
+    else:
+        frames, kind = img[None], "image"
+    meta = {
+        "mime": f"x-mit/{kind}",
+        "width": int(frames.shape[2]),
+        "height": int(frames.shape[1]),
+        "channels": int(frames.shape[3]),
+        "n_frames": int(frames.shape[0]),
+    }
+    return encode_media(frames, kind), meta
+
+
+# ---------------------------------------------------------------------------
+# Spark operators (all Arrow-batched; no per-row Python)
+
+
+def media_table(spark: SparkSession, docs_df: DataFrame) -> DataFrame:
+    """docs -> one row per media span with binary content + typed meta.
+    At scale the binary column stays columnar in Arrow; partition count
+    follows the exploded span rows (skew handled upstream by the explode)."""
+
+    spans = (
+        docs_df.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    )
+
+    def attach(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for ref in pdf["media_ref"]:
+                b, m = synth_media_bytes(str(ref))
+                payloads.append(b)
+                metas.append(m)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "content": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return spans.mapInPandas(attach, schema=MEDIA)
+
+
+def frame_sample(media_df: DataFrame, every_k: int = 2) -> DataFrame:
+    """Video frame sampling: one output row per kept frame (indices
+    0, k, 2k, ...); images pass through as frame 0. The Spark analogue of
+    the reference's patch explode (det_arrange.rs:215-344): payload rows
+    multiply, downstream ops parallelize per frame."""
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                kind, frames = decode_media(bytes(content))
+                for i in range(0, frames.shape[0], every_k):
+                    rows.append((ref, i, encode_media(frames[i], "image")))
+            yield pd.DataFrame(rows, columns=["media_ref", "frame_idx", "content"])
+
+    return media_df.mapInPandas(sample, schema=FRAME)
+
+
+def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """Bilinear resize of every frame (same imageops kernel as the detect
+    path, crates/interface rayon.rs:394-434 semantics); meta is updated
+    JVM-side so the plan shows the new dims without decoding."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        from mit_spark.operators.imageops import resize
+
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                kind, frames = decode_media(bytes(content))
+                res = np.stack([resize(f, width, height) for f in frames])
+                out.append(encode_media(res, kind))
+            pdf = pdf.copy()
+            pdf["content"] = out
+            yield pdf
+
+    resized = media_df.mapInPandas(run, schema=media_df.schema)
+    new_meta = F.struct(
+        F.col("meta.mime").alias("mime"),
+        F.lit(width).alias("width"),
+        F.lit(height).alias("height"),
+        F.col("meta.channels").alias("channels"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+    return resized.withColumn("meta", new_meta)
+
+
+def channel_stats(media_df: DataFrame) -> DataFrame:
+    """Feature extraction: per-channel mean/std over all frames (float32
+    accumulation, rounded to 4dp). One output row per (media_ref, channel)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                _, frames = decode_media(bytes(content))
+                f, h, w, c = frames.shape
+                flat = frames.reshape(-1, c).astype(np.float32)
+                mean = flat.mean(axis=0)
+                std = flat.std(axis=0)
+                for ch in range(c):
+                    rows.append(
+                        (ref, w, h, f, ch, round(float(mean[ch]), 4), round(float(std[ch]), 4))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "channel",
+                    "mean",
+                    "std",
+                ],
+            )
+
+    return media_df.mapInPandas(run, schema=CHANNEL_STATS)

@@ -1305,3 +1305,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id", F.round("d2_raw", 6).alias("d2"))
         .orderBy("q_id", "d2", "n_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary columns (rows-only: payloads are opaque binaries; the
+# strong oracle is the numpy golden equality in tests/test_multimodal.py)
+
+
+@register("media_channel_stats", None)
+def media_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode media binaries (MITB container), frame-sample videos, and
+    aggregate per-source-kind channel statistics — the multimodal
+    feature-extraction plumbing end-to-end."""
+    from mit_spark.operators.multimodal import channel_stats, media_table
+    from mit_spark.sources.docs_source import load_docs
+
+    docs = load_docs(spark, sf_dir, limit=120)
+    stats = channel_stats(media_table(spark, docs))
+    return (
+        stats.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg("mean"), 3).alias("avg_mean"),
+            F.round(F.avg("std"), 3).alias("avg_std"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("channel")
+    )
