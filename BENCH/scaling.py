@@ -53,12 +53,18 @@ def run_at(cpus: int, n_docs: int) -> dict:
     docs = load_docs(spark, SF_DIR, replicate=replicate).cache()
     n = docs.count()
     n_spans = docs.selectExpr("sum(size(spans))").collect()[0][0]
-    # warmup pass: touch every worker/code path once
-    warm = load_docs(spark, SF_DIR, limit=max(cpus * 6, 100))
-    extract(spark, warm, cfg).write.format("noop").mode("overwrite").save()
-    # best-of-2 (criterion-style): the sandbox VM shows +-25% run noise
-    walls = []
+    # Warmup: TWO full-size passes, not a token slice. Stage-level profiling
+    # (BENCH/profile_stages.py) showed the first pass in a fresh JVM runs up
+    # to 1.7x slower than steady state — C2 JIT of codegen'd stages, shuffle
+    # and Arrow paths all compile during it — which systematically inflates
+    # the low-parallelism level less than the high one and corrupts the
+    # efficiency ratio. The reference's criterion benches exclude the same
+    # class of one-time cost (model load, onnx_bench.rs:130-166).
     for _ in range(2):
+        extract(spark, docs, cfg).write.format("noop").mode("overwrite").save()
+    # best-of-3 (criterion-style): the sandbox VM shows +-25% run noise
+    walls = []
+    for _ in range(3):
         t0 = time.time()
         extract(spark, docs, cfg).write.format("noop").mode("overwrite").save()
         walls.append(time.time() - t0)

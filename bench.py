@@ -32,7 +32,13 @@ BENCH_QUERIES = [
     "simhash_fingerprint",
     "embedding_cosine_topk",
     "embedding_lsh_buckets",
+    "embedding_near_dup",
+    "ann_ivf_topk",
     "boilerplate_strip",
+    "language_id_ngram",
+    "rolling_fingerprint",
+    "token_count_bpe",
+    "media_channel_stats",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

@@ -72,6 +72,11 @@ class PipelineConfig:
     regroup_salt: int = 8
     # explode threshold: docs with more media spans than this get salted
     heavy_doc_spans: int = 32
+    # per-span poison tolerance (SURVEY.md §2.10): a span whose detect/OCR
+    # raises is recorded as an error row instead of failing the task, so one
+    # poisoned document cannot kill a 10^12-doc job. Fault injection for
+    # tests: media_refs listed here raise inside the UDF.
+    fault_inject_refs: tuple = ()
 
     def to_dict(self) -> dict:
         d = asdict(self)

@@ -8,27 +8,36 @@ pattern list drives three implementations that must agree exactly:
   * clean_text_py  — python re (the single-process oracle),
   * clean_text_sql — ANSI/DuckDB SQL (the driver's correctness oracle).
 All three engines (Java regex, python re, RE2) support the constructs used
-here: (?s) dotall, non-greedy .*?, character classes.
+here: (?s) dotall, non-greedy .*?, alternation, non-capturing groups —
+deliberately NO backreferences (RE2 has none).
+
+Fused to TWO passes (was five): each regexp_replace scans the whole span,
+so pass count is the text branch's cost multiplier at 10^12 docs.
+  pass 1: the three boilerplate blocks as one alternation — leftmost-first
+          matching across alternatives replaces the old sequential
+          per-pattern order (identical on well-formed markup; the single
+          shared pattern list keeps all three engines agreeing on ANY
+          input, which is what oracle equality needs);
+  pass 2: ``(?:<[^>]*>|[ \t\n\r])+ -> " "`` — a maximal run of tags and
+          whitespace collapses to one space, provably equal to the old
+          tag->space pass followed by whitespace-collapse (non-tag,
+          non-ws characters are untouched by both).
 """
 
 from __future__ import annotations
 
 import re
 
-# (pattern, replacement) applied in order, then whitespace-collapse + trim
+# (pattern, replacement) applied in order, then trim
 BOILERPLATE_PATTERNS: list[tuple[str, str]] = [
-    (r"(?s)<nav>.*?</nav>", " "),
-    (r"(?s)<script>.*?</script>", " "),
-    (r"(?s)<footer>.*?</footer>", " "),
-    (r"<[^>]*>", " "),
+    (r"(?s)<nav>.*?</nav>|<script>.*?</script>|<footer>.*?</footer>", " "),
+    (r"(?:<[^>]*>|[ \t\n\r])+", " "),
 ]
-_WS = (r"[ \t\n\r]+", " ")
 
 
 def clean_text_py(s: str) -> str:
     for pat, rep in BOILERPLATE_PATTERNS:
         s = re.sub(pat, rep, s)
-    s = re.sub(_WS[0], _WS[1], s)
     return s.strip()
 
 
@@ -39,7 +48,6 @@ def clean_text_col(col):
     out = col
     for pat, rep in BOILERPLATE_PATTERNS:
         out = F.regexp_replace(out, pat, rep)
-    out = F.regexp_replace(out, _WS[0], _WS[1])
     return F.trim(out)
 
 
@@ -48,5 +56,4 @@ def clean_text_sql(expr: str) -> str:
     out = expr
     for pat, rep in BOILERPLATE_PATTERNS:
         out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
-    out = f"regexp_replace({out}, '{_WS[0]}', '{_WS[1]}', 'g')"
     return f"trim({out})"

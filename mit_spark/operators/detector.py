@@ -82,9 +82,12 @@ def detect(
     forward: ForwardFn,
     opts: DetectorOptions,
     pre: PreprocessorOptions = PreprocessorOptions(),
+    infer_fn=None,
 ) -> tuple[list[Quad], np.ndarray]:
     """Detector::detect + common::detect. Returns (quads in ORIGINAL image
-    coordinates, mask uint8)."""
+    coordinates, mask uint8). ``infer_fn`` selects the variant (the Detector
+    trait's default detect() wraps any infer, detectors/mod.rs:47-68)."""
+    infer_fn = infer_fn or infer
     img_h = img.shape[0]
     add_border = None
     if min(img.shape[0], img.shape[1]) < 400:  # common.rs:16-21
@@ -97,7 +100,7 @@ def detect(
     if pre.gamma_correct:
         work = ops.gamma_correction(work)
 
-    quads, mask = infer(work, forward, opts)
+    quads, mask = infer_fn(work, forward, opts)
 
     if pre.auto_rotate:
         # common.rs:40-44: `textlines.iter().map(|v| ...).count()` counts ALL
@@ -116,6 +119,7 @@ def detect(
                     rotate=pre.rotate,
                     auto_rotate=False,
                 ),
+                infer_fn,
             )
 
     if add_border is not None and mask is not None:  # common.rs:52-56
@@ -129,3 +133,90 @@ def detect(
             Quad([(int(y), int(-x + img_h)) for x, y in q.pts], q.score) for q in quads
         ]
     return quads, mask
+
+
+# ---------------------------------------------------------------------------
+# detector variants ("none" and paddle-style; reference
+# crates/modules/detector/{none,paddle}/src/lib.rs)
+
+
+def infer_none(img: np.ndarray, forward: ForwardFn, opts: DetectorOptions):
+    """NoneDetector::infer (none/src/lib.rs:46-64): no boxes, empty mask.
+    (The reference returns a dims-only Mask with no data, which its own
+    Python binding cannot convert; we return an all-zero mask instead.)"""
+    mask = np.zeros(img.shape[:2], dtype=np.uint8) if opts.emit_mask else None
+    return [], mask
+
+
+def fill_polys_mask(quads: list, width: int, height: int) -> np.ndarray:
+    """Paddle's full-page quad rasterization (paddle/src/lib.rs:211-264):
+    per scanline, edge intersections x = x0 + t*dx truncated to int, sorted,
+    consecutive pairs filled INCLUSIVE with endpoint clamp. Kept distinct
+    from contours.fill_polygon_mask (even-odd pixel-center fill) because the
+    two references round differently."""
+    mask = np.zeros((height, width), dtype=np.uint8)
+    for q in quads:
+        p = np.asarray(q.pts if hasattr(q, "pts") else q, dtype=np.int64)
+        edges = [
+            (p[i], p[(i + 1) % 4]) for i in range(4) if p[i][1] != p[(i + 1) % 4][1]
+        ]
+        if not edges:
+            continue
+        y_min = max(int(p[:, 1].min()), 0)
+        y_max = min(int(p[:, 1].max()), height - 1)
+        for y in range(y_min, y_max + 1):
+            xs = []
+            for (x0, y0), (x1, y1) in edges:
+                if (y0 <= y < y1) or (y1 <= y < y0):
+                    t = (y - y0) / (y1 - y0)
+                    xs.append(int(x0 + t * (x1 - x0)))  # `as i64` truncation
+            xs.sort()
+            for k in range(0, len(xs) - 1, 2):
+                lo = min(max(xs[k], 0), width - 1)
+                hi = min(max(xs[k + 1], 0), width - 1)
+                mask[y, lo : hi + 1] = 255
+    return mask
+
+
+def infer_paddle(img: np.ndarray, forward: ForwardFn, opts: DetectorOptions):
+    """PaddleDetector::infer (paddle/src/lib.rs:123-208): max_side_len=960
+    downscale (dims snapped to a multiple of 32, PP-OCR convention), DBNet
+    head + representer as the get_text_boxes stand-in, inf-score filter
+    (lib.rs:169), min-rotated-rect + cycle().skip(2) corner roll
+    (lib.rs:176-191), full-page scanline mask at ORIGINAL dims."""
+    from mit_spark.operators.contours import min_area_rect
+
+    h, w = img.shape[:2]
+    max_side = max(h, w)
+    resize_target = max_side if max_side < 960 else 960
+    ratio = resize_target / max_side
+    tw = max((int(w * ratio) // 32) * 32, 32)
+    th = max((int(h * ratio) // 32) * 32, 32)
+    resized = ops.resize(img, tw, th, "bilinear")
+
+    db, _ = forward(resized[None, ...])
+    boxes_b, scores_b = representer_call(
+        db,
+        [(th, tw)],
+        thresh=opts.text_threshold,
+        box_thresh=opts.box_threshold,
+        min_size=opts.min_size,
+        max_candidates=opts.max_candidates,
+        unclip_ratio=opts.unclip_ratio,
+    )
+    rw, rh = w / tw, h / th
+
+    quads = []
+    for pts, score in zip(boxes_b[0], scores_b[0]):
+        if not np.isfinite(score) or not pts.reshape(-1).sum() > 0:
+            continue
+        scaled = np.stack([pts[:, 0] * rw, pts[:, 1] * rh], axis=1)
+        corners, _, _ = min_area_rect(scaled.astype(np.float64))
+        rolled = np.roll(np.asarray(corners, dtype=np.float64), -2, axis=0)
+        quads.append(Quad(rolled.astype(np.int64), float(score)))
+
+    mask = fill_polys_mask(quads, w, h) if opts.emit_mask else None
+    return quads, mask
+
+
+INFER_VARIANTS = {"dbnet": infer, "dbnet_convnext": infer, "paddle": infer_paddle, "none": infer_none}

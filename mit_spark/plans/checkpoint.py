@@ -60,6 +60,7 @@ def _append_lineage(spark: SparkSession, out_dir: str, rows: list[dict]) -> None
                 r["status"],
                 r.get("n_docs"),
                 r.get("n_spans"),
+                r.get("n_errors", 0),
                 r.get("started_at"),
                 r.get("finished_at"),
                 r.get("error"),
@@ -82,7 +83,9 @@ def run_extraction(
 ) -> dict:
     """Process all pending buckets; returns run metrics. ``max_waves`` exists
     for kill/resume tests (stop after k waves like a preempted job)."""
-    from mit_spark.plans.pipeline import extract
+    from pyspark import StorageLevel
+
+    from mit_spark.plans.pipeline import extract_flat, regroup
 
     config = config or PipelineConfig()
     n_buckets = config.n_buckets
@@ -92,7 +95,13 @@ def run_extraction(
     done = done_buckets(spark, out_dir) if resume else set()
     pending = [b for b in range(n_buckets) if b not in done]
 
-    metrics = {"buckets_done_prior": len(done), "buckets_processed": 0, "n_docs": 0, "n_spans": 0}
+    metrics = {
+        "buckets_done_prior": len(done),
+        "buckets_processed": 0,
+        "n_docs": 0,
+        "n_spans": 0,
+        "n_errors": 0,
+    }
     waves = [pending[i : i + wave_size] for i in range(0, len(pending), wave_size)]
     if max_waves is not None:
         waves = waves[:max_waves]
@@ -101,7 +110,20 @@ def run_extraction(
         started = datetime.datetime.now()
         wave_docs = docs.filter(F.col("_bucket").isin(wave))
         try:
-            out = extract(spark, wave_docs.drop("_bucket"), config)
+            # one UDF pass per wave: persist the flat spans so the regrouped
+            # output AND the per-bucket poison-error tally (SURVEY.md §2.10)
+            # both read it without recomputing detect+OCR
+            flat = extract_flat(spark, wave_docs.drop("_bucket"), config).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            err_by_bucket = {
+                r["b"]: int(r["n"])
+                for r in flat.filter(F.col("kind") == "error")
+                .groupBy(bucket_of(F.col("doc_id"), n_buckets).alias("b"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            out = regroup(flat, config)
             out = out.withColumn("bucket_id", bucket_of(F.col("doc_id"), n_buckets))
             out.write.mode("append").partitionBy("bucket_id").parquet(
                 os.path.join(out_dir, "extracted")
@@ -114,6 +136,7 @@ def run_extraction(
                 )
                 .collect()
             )
+            flat.unpersist()
             by_bucket = {r["bucket_id"]: r for r in stats}
             finished = datetime.datetime.now()
             rows = []
@@ -125,6 +148,7 @@ def run_extraction(
                         "status": "done",
                         "n_docs": int(r["n_docs"]) if r else 0,
                         "n_spans": int(r["n_spans"]) if r else 0,
+                        "n_errors": err_by_bucket.get(b, 0),
                         "started_at": started,
                         "finished_at": finished,
                         "error": None,
@@ -133,6 +157,7 @@ def run_extraction(
                 metrics["buckets_processed"] += 1
                 metrics["n_docs"] += rows[-1]["n_docs"]
                 metrics["n_spans"] += rows[-1]["n_spans"]
+                metrics["n_errors"] += rows[-1]["n_errors"]
             _append_lineage(spark, out_dir, rows)
         except Exception as e:  # poisoned wave -> lineage 'failed', job continues
             _append_lineage(

@@ -32,24 +32,37 @@ from mit_spark.operators.ordering import SPAN_STRIDE
 from mit_spark.schema import FLAT_OUT
 
 
-def _media_udf(detector_conf: dict, pre_conf: dict):
+def _media_udf(detector_conf: dict, pre_conf: dict, fault_inject_refs: tuple = ()):
     """Build the Arrow-batched detect+OCR function (plain dicts travel in
     the closure; numpy state is created lazily per worker)."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
+        from mit_spark.operators.ordering import SPAN_STRIDE
         from mit_spark.oracle import extract_media_span
         from mit_spark.session import apply_worker_env
 
         apply_worker_env()
         opts = DetectorOptions(**detector_conf)
         pre = PreprocessorOptions(**pre_conf)
+        fault_refs = set(fault_inject_refs or ())
         for pdf in batches:
             rows = []
             for doc_id, ref, off in zip(pdf["doc_id"], pdf["media_ref"], pdf["offset"]):
-                for s in extract_media_span(str(ref), int(off), opts, pre):
-                    rows.append((doc_id, s["kind"], s["text"], s["media_ref"], s["order"]))
+                # per-span poison tolerance (SURVEY.md §2.10): a raising span
+                # becomes one kind='error' row (dropped before the regroup,
+                # counted into lineage) instead of a task failure
+                try:
+                    if str(ref) in fault_refs:
+                        raise RuntimeError("fault injection")
+                    for s in extract_media_span(str(ref), int(off), opts, pre):
+                        rows.append((doc_id, s["kind"], s["text"], s["media_ref"], s["order"]))
+                except Exception as e:  # noqa: BLE001 — poison isolation
+                    rows.append(
+                        (doc_id, "error", f"{type(e).__name__}: {e}"[:500], str(ref),
+                         int(off) * SPAN_STRIDE)
+                    )
             yield pd.DataFrame(rows, columns=["doc_id", "kind", "text", "media_ref", "order"])
 
     return run
@@ -77,19 +90,27 @@ def extract_flat(spark: SparkSession, docs_df: DataFrame, config: PipelineConfig
     # spread spans of media-heavy documents across the cluster (explode gave
     # span rows; hash-repartition breaks doc-locality so one heavy doc
     # occupies many tasks, not one)
-    # fine-grained tasks (8x slots): per-span detect cost is 30-600 ms, so
-    # small tasks bound the straggler tail of the stage
-    parallelism = spark.sparkContext.defaultParallelism * 8
+    # fine-grained tasks (16x slots): per-span detect cost is 30-600 ms, so
+    # small tasks bound the straggler tail of the stage — the tail is idle
+    # time in the LAST wave, and its relative cost grows with parallelism
+    # (a 2 s straggler is 1% of a local[4] run but 4% of local[16]); rows
+    # here are (doc_id, media_ref, offset) so extra partitions are ~free
+    parallelism = spark.sparkContext.defaultParallelism * 16
     media_in = media_in.repartition(parallelism, F.xxhash64("doc_id", "offset"))
 
     media_out = media_in.mapInPandas(
-        _media_udf(asdict(config.detector), asdict(config.preprocessor)), schema=FLAT_OUT
+        _media_udf(
+            asdict(config.detector), asdict(config.preprocessor),
+            tuple(config.fault_inject_refs),
+        ),
+        schema=FLAT_OUT,
     )
     return text_out.unionByName(media_out)
 
 
 def regroup(flat: DataFrame, config: PipelineConfig | None = None) -> DataFrame:
-    """Rebuild ordered span arrays per document.
+    """Rebuild ordered span arrays per document (kind='error' poison rows
+    are excluded here; checkpoint counts them into lineage).
 
     Two-phase salted aggregation (SURVEY.md §4.1): phase 1 collects partial
     arrays per (doc_id, salt) so a 10^5-span document's rows are combined by
@@ -98,6 +119,7 @@ def regroup(flat: DataFrame, config: PipelineConfig | None = None) -> DataFrame:
     groupBy.
     """
     config = config or PipelineConfig()
+    flat = flat.filter(F.col("kind") != "error")
     span_struct = F.struct("order", "kind", "text", "media_ref")
     salt = config.regroup_salt
     if salt > 1:

@@ -60,6 +60,7 @@ LINEAGE = StructType(
         StructField("status", StringType(), False),
         StructField("n_docs", LongType(), True),
         StructField("n_spans", LongType(), True),
+        StructField("n_errors", LongType(), True),
         StructField("started_at", TimestampType(), True),
         StructField("finished_at", TimestampType(), True),
         StructField("error", StringType(), True),
