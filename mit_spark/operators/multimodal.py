@@ -143,6 +143,17 @@ def synth_media_bytes(media_ref: str) -> tuple[bytes, dict]:
 # ---------------------------------------------------------------------------
 # Spark operators (all Arrow-batched; no per-row Python)
 
+# Payload rows carry ~0.8-3 MB binaries, so Arrow's default 256-row batches
+# become 0.2-0.8 GB frames: every UDF here processes and yields in small
+# row chunks to bound worker memory and pipeline the JVM<->python transfer.
+_CHUNK = 8
+
+
+def _chunks(batches):
+    for pdf in batches:
+        for i in range(0, len(pdf), _CHUNK):
+            yield pdf.iloc[i : i + _CHUNK]
+
 
 def media_table(spark: SparkSession, docs_df: DataFrame) -> DataFrame:
     """docs -> one row per media span with binary content + typed meta.
@@ -154,11 +165,17 @@ def media_table(spark: SparkSession, docs_df: DataFrame) -> DataFrame:
         .filter(F.col("s.kind") == "media")
         .select("doc_id", F.col("s.media_ref").alias("media_ref"))
     )
+    # media spans arrive clustered by generating doc partition (skew: heavy
+    # docs put 64-256 payloads in one partition) — spread them first, same
+    # move as the detect pipeline's pre-UDF repartition
+    spans = spans.repartition(
+        spark.sparkContext.defaultParallelism * 2, F.xxhash64("doc_id", "media_ref")
+    )
 
     def attach(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
-        for pdf in batches:
+        for pdf in _chunks(batches):
             payloads, metas = [], []
             for ref in pdf["media_ref"]:
                 b, m = synth_media_bytes(str(ref))
@@ -185,7 +202,7 @@ def frame_sample(media_df: DataFrame, every_k: int = 2) -> DataFrame:
     def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
-        for pdf in batches:
+        for pdf in _chunks(batches):
             rows = []
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 kind, frames = decode_media(bytes(content))
@@ -204,7 +221,7 @@ def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         from mit_spark.operators.imageops import resize
 
-        for pdf in batches:
+        for pdf in _chunks(batches):
             out = []
             for content in pdf["content"]:
                 kind, frames = decode_media(bytes(content))
@@ -232,7 +249,7 @@ def channel_stats(media_df: DataFrame) -> DataFrame:
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
-        for pdf in batches:
+        for pdf in _chunks(batches):
             rows = []
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 _, frames = decode_media(bytes(content))
