@@ -1332,3 +1332,42 @@ def media_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming (rows-only: Structured Streaming drain; the strong oracle is
+# the exactly-once batch-equality test in tests/test_streaming.py)
+
+
+@register("streaming_drain", None)
+def streaming_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §2.8 as a registry entry: write a docs slice as two
+    parquet 'arrival' files, drain them through the Structured Streaming
+    wrapper (availableNow + foreachBatch + checkpoint), and return the
+    extracted span counts per doc. A second drain of the same checkpoint
+    appends nothing (exactly-once), which the span-count invariant checks
+    implicitly: duplicates would double n_spans."""
+    import tempfile
+
+    from mit_spark.config import DetectorOptions, PipelineConfig
+    from mit_spark.sources.docs_source import load_docs
+    from mit_spark.streaming.micro_batch import run_stream
+
+    cfg = PipelineConfig(detector=DetectorOptions(detect_size=512, emit_mask=False))
+    base = tempfile.mkdtemp(prefix="mit_stream_")
+    inp, out, ckp = f"{base}/in", f"{base}/out", f"{base}/ckp"
+    docs = load_docs(spark, sf_dir, limit=40)
+    docs.limit(20).write.parquet(inp)
+    docs.write.mode("overwrite").parquet(f"{base}/all")
+    spark.read.parquet(f"{base}/all").subtract(spark.read.parquet(inp)).write.mode(
+        "append"
+    ).parquet(inp)
+
+    run_stream(spark, inp, out, ckp, cfg, available_now=True)
+    run_stream(spark, inp, out, ckp, cfg, available_now=True)  # exactly-once re-drain
+
+    return (
+        spark.read.parquet(out)
+        .select("doc_id", F.size("spans").alias("n_spans"))
+        .orderBy("doc_id")
+    )
