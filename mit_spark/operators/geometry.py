@@ -91,26 +91,41 @@ def sort_pnts(pts: np.ndarray) -> tuple[np.ndarray, bool]:
 
 
 def convex_hull(points: np.ndarray) -> np.ndarray:
-    """Andrew monotone chain; returns CCW hull vertices (no repeat)."""
-    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
-    if len(pts) <= 2:
-        return pts
-    # lexicographic sort by (x, y)
-    o = np.lexsort((pts[:, 1], pts[:, 0]))
-    pts = pts[o]
+    """Andrew monotone chain; returns CCW hull vertices (no repeat).
 
-    def cross(o_, a, b):
-        return (a[0] - o_[0]) * (b[1] - o_[1]) - (a[1] - o_[1]) * (b[0] - o_[0])
+    Runs on python float tuples with the cross product inlined: the chain
+    is inherently sequential, and per-point numpy scalar indexing made this
+    one of the detect path's hottest functions (~100k cross() calls per 80
+    images). Python floats ARE IEEE-754 doubles, so the arithmetic and the
+    <= 0 comparisons are bit-identical to the previous numpy version;
+    sorted(set(...)) of tuples gives the same lexicographic dedup+order as
+    np.unique(axis=0)."""
+    a = np.asarray(points, dtype=np.float64)
+    pts = sorted({(float(x), float(y)) for x, y in a})
+    if len(pts) <= 2:
+        return np.array(pts, dtype=np.float64).reshape(-1, 2)
 
     lower: list = []
     for p in pts:
-        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
-            lower.pop()
+        px, py = p
+        while len(lower) >= 2:
+            ox, oy = lower[-2]
+            ax, ay = lower[-1]
+            if (ax - ox) * (py - oy) - (ay - oy) * (px - ox) <= 0:
+                lower.pop()
+            else:
+                break
         lower.append(p)
     upper: list = []
-    for p in pts[::-1]:
-        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
-            upper.pop()
+    for p in reversed(pts):
+        px, py = p
+        while len(upper) >= 2:
+            ox, oy = upper[-2]
+            ax, ay = upper[-1]
+            if (ax - ox) * (py - oy) - (ay - oy) * (px - ox) <= 0:
+                upper.pop()
+            else:
+                break
         upper.append(p)
     return np.array(lower[:-1] + upper[:-1], dtype=np.float64)
 
