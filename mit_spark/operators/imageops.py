@@ -184,15 +184,17 @@ def resize(img: np.ndarray, width: int, height: int, interpolation: str = "bilin
 
     y0, y1, fy = _bilinear_axis_coords(height, h)
     x0, x1, fx = _bilinear_axis_coords(width, w)
-    f = img.astype(np.float32)
     # rows first (H, w, [3]) then columns — avoids the w*H-sized double
-    # fancy-index temporaries of the naive formulation
-    # in-place accumulation trims large float temporaries (memory-bandwidth
-    # is the scaling bottleneck at 32 workers)
+    # fancy-index temporaries of the naive formulation; row gathers happen
+    # on the UINT8 source (4x less read traffic than gathering a float32
+    # copy) with the f32 conversion fused into the gathered rows — the lerp
+    # arithmetic is unchanged, so output is bit-identical. In-place
+    # accumulation trims large float temporaries (memory-bandwidth is the
+    # scaling bottleneck at 32 workers).
     if img.ndim == 3:
-        rows = f[y0]
+        rows = img[y0].astype(np.float32)
         rows *= (1 - fy)[:, None, None]
-        r1 = f[y1]
+        r1 = img[y1].astype(np.float32)
         r1 *= fy[:, None, None]
         rows += r1
         out = rows[:, x0]
@@ -201,9 +203,9 @@ def resize(img: np.ndarray, width: int, height: int, interpolation: str = "bilin
         o1 *= fx[None, :, None]
         out += o1
     else:
-        rows = f[y0]
+        rows = img[y0].astype(np.float32)
         rows *= (1 - fy)[:, None]
-        r1 = f[y1]
+        r1 = img[y1].astype(np.float32)
         r1 *= fy[:, None]
         rows += r1
         out = rows[:, x0]

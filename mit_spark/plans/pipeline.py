@@ -15,8 +15,9 @@ Plan shape:
       -> extracted(doc_id, spans ordered by `order`)
 
 Everything relational is built-in; the only Python is the Arrow-batched
-media UDF. No collect(), no driver-side loops, no custom partitioner —
-scales by adding executors.
+media UDF (vectorized-batch UDF execution per "Accelerating Python UDFs in
+Vectorized Query Execution", CIDR 2022 — see PAPERS.md). No collect(), no
+driver-side loops, no custom partitioner — scales by adding executors.
 """
 
 from __future__ import annotations
