@@ -54,27 +54,39 @@ def connected_components(bitmap: np.ndarray) -> list[np.ndarray]:
     _, run_ends = np.nonzero(d == -1)  # exclusive end; same count/order per row
 
     n_runs = len(run_rows)
-    parent = list(range(n_runs))
-
-    # union runs that touch between consecutive rows (8-conn: overlap with ±1)
     row_start_idx = np.searchsorted(run_rows, np.arange(h + 1))
-    for r in range(1, h):
-        a0, a1 = row_start_idx[r - 1], row_start_idx[r]
-        b0, b1 = row_start_idx[r], row_start_idx[r + 1]
-        if a0 == a1 or b0 == b1:
-            continue
-        i, j = a0, b0
-        while i < a1 and j < b1:
-            # 8-connectivity: runs [s,e) touch if s_a <= e_b and s_b <= e_a
-            # with one-pixel diagonal slack
-            if run_starts[i] <= run_ends[j] and run_starts[j] <= run_ends[i]:
-                ri, rj = _find(parent, i), _find(parent, j)
-                if ri != rj:
-                    parent[max(ri, rj)] = min(ri, rj)
-            if run_ends[i] < run_ends[j]:
-                i += 1
-            else:
-                j += 1
+
+    # union runs that touch between consecutive rows (8-conn: runs [s,e)
+    # touch iff s_a <= e_b and s_b <= e_a — exclusive ends give the
+    # one-pixel diagonal slack). Candidate pairs are found vectorized:
+    # within a row both starts and ends are strictly increasing, so for a
+    # run j the touching runs of the PREVIOUS row form one contiguous index
+    # interval [lo_j, hi_j), located with two global searchsorted calls on
+    # row-composite keys (row*K + coord is globally increasing).
+    K = w + 2
+    starts_key = run_rows * K + run_starts
+    ends_key = run_rows * K + run_ends
+    j_ids = np.nonzero(run_rows > 0)[0]
+    i_idx = jj = np.empty(0, dtype=np.int64)
+    if len(j_ids):
+        rj = run_rows[j_ids]
+        lo = np.searchsorted(ends_key, (rj - 1) * K + run_starts[j_ids], side="left")
+        hi = np.searchsorted(starts_key, (rj - 1) * K + run_ends[j_ids], side="right")
+        lo = np.maximum(lo, row_start_idx[rj - 1])
+        hi = np.minimum(hi, row_start_idx[rj])
+        c = np.maximum(hi - lo, 0)
+        total = int(c.sum())
+        if total:
+            grp = np.repeat(np.arange(len(j_ids)), c)
+            within = np.arange(total) - np.repeat(np.cumsum(c) - c, c)
+            i_idx = lo[grp] + within
+            jj = j_ids[grp]
+
+    parent = list(range(n_runs))
+    for i, j in zip(i_idx.tolist(), jj.tolist()):
+        ri, rjr = _find(parent, i), _find(parent, j)
+        if ri != rjr:
+            parent[max(ri, rjr)] = min(ri, rjr)
 
     roots = np.fromiter((_find(parent, i) for i in range(n_runs)), dtype=np.int64)
     comps: dict[int, list[int]] = {}
