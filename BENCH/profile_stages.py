@@ -53,6 +53,11 @@ def main(cpus: int, n_docs: int) -> None:
         timings[name] = walls
 
     flat = extract_flat(spark, docs, cfg)
+    # NB: a filter on the UNION output cannot prune through the opaque
+    # mapInPandas, so "text_only" still executes the media UDF — its
+    # timing is (media + text); the text branch's true cost is
+    # full_extract - media_branch. "media_only" is ~the media stage
+    # (the text branch it also runs costs only Catalyst expressions).
     media_only = flat.filter(F.col("media_ref") != "")
     text_only = flat.filter(F.col("kind") == "text")
 
