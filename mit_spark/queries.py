@@ -1371,3 +1371,118 @@ def streaming_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.size("spans").alias("n_spans"))
         .orderBy("doc_id")
     )
+
+
+def _minhash_verify_sql() -> str:
+    mh = ",\n             ".join(f"min(d[{5*j+1}:{5*j+5}]) AS mh{j}" for j in range(6))
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, split(trim(text), ' ') AS words FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             (split(trim(text), ' '))[1:len(split(trim(text), ' ')) - 1] AS words
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle,
+             lead(w, 2) OVER win AS w2
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), dg AS (
+      SELECT doc_id, md5(shingle) AS d FROM sh WHERE w2 IS NOT NULL
+    ), sigs AS (
+      SELECT doc_id,
+             {mh}
+      FROM dg GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([mh0 || mh1, mh2 || mh3, mh4 || mh5]) AS band
+      FROM sigs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ), sets AS (
+      SELECT doc_id, list_distinct(list(d)) AS ds FROM dg GROUP BY doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_filter(x.ds, s -> list_contains(y.ds, s)))
+                 / (len(x.ds) + len(y.ds)
+                    - len(list_filter(x.ds, s -> list_contains(y.ds, s)))), 4)
+             AS jaccard
+    FROM cand JOIN sets x ON cand.doc_a = x.doc_id
+              JOIN sets y ON cand.doc_b = y.doc_id
+    WHERE len(list_filter(x.ds, s -> list_contains(y.ds, s)))
+          / (len(x.ds) + len(y.ds)
+             - len(list_filter(x.ds, s -> list_contains(y.ds, s)))) >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("minhash_verified_dups", _minhash_verify_sql())
+def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LSH dedup pipeline: minhash-band CANDIDATES (recall stage,
+    same formulation as minhash_near_dup) -> exact shingle-set Jaccard
+    VERIFY >= 0.5 (precision stage). At 100 TB the verify join touches only
+    candidate pairs (|cand| << n^2), and the shingle sets travel as md5
+    digests — the classic near-dup architecture for training corpora.
+    Ratio computed over exact integer set sizes, so the 0.5 threshold is
+    engine-deterministic."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("words")
+    )
+    perturbed = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.slice("words", 1, F.size("words") - 1).alias("words"),
+    )
+    corpus = d.unionByName(perturbed)
+    tok = corpus.select("doc_id", F.posexplode("words").alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    sh = tok.select(
+        "doc_id",
+        F.concat_ws(" ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)).alias(
+            "shingle"
+        ),
+        F.lead("w", 2).over(win).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    dg = sh.select("doc_id", F.md5("shingle").alias("d"))
+    sigs = dg.groupBy("doc_id").agg(
+        *[F.min(F.substring("d", 5 * j + 1, 5)).alias(f"mh{j}") for j in range(6)]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat("mh0", "mh1"), F.concat("mh2", "mh3"), F.concat("mh4", "mh5")
+            )
+        ).alias("band"),
+    )
+    buckets = (
+        bands.groupBy("band")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice("docs", i + 2, F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pairs).alias("p")).select("p.doc_a", "p.doc_b").distinct()
+    )
+    sets = dg.groupBy("doc_id").agg(F.collect_set("d").alias("ds"))
+    x, y = sets.alias("x"), sets.alias("y")
+    inter = F.size(F.array_intersect(F.col("x.ds"), F.col("y.ds")))
+    union = F.size(F.col("x.ds")) + F.size(F.col("y.ds")) - inter
+    jac = inter / union
+    return (
+        cand.join(x, cand.doc_a == F.col("x.doc_id"))
+        .join(y, cand.doc_b == F.col("y.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
