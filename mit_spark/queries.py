@@ -829,10 +829,172 @@ FLAGSHIP_CFG = PipelineConfig(detector=DetectorOptions(detect_size=512, emit_mas
 
 @register("flagship_extract", None)
 def flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mit_spark.plans.pipeline import extract
+    """Flagship detect->OCR->order->emit, exposed to the driver gate in the
+    FLAT scalar projection (doc_id, kind, text, media_ref, order): the
+    array-of-struct ``extract`` output is the product API, but pandas cannot
+    factorize a list column, so the registry row returns the exploded form
+    with a deterministic sort. Span-sequence equality is per (doc_id, order)
+    row — the flat form is exactly that invariant, one row per span."""
+    from mit_spark.plans.pipeline import extract_flat
     from mit_spark.sources.docs_source import load_docs
 
-    return extract(spark, load_docs(spark, sf_dir), FLAGSHIP_CFG)
+    return (
+        extract_flat(spark, load_docs(spark, sf_dir), FLAGSHIP_CFG)
+        .filter(F.col("kind") != "error")
+        .orderBy("doc_id", "order")
+    )
+
+
+def _h_sql(s: str) -> str:
+    """First 4 bytes of md5(s) as a big-endian int — the SQL twin of
+    synth._h/_ints (both engines agree bit-for-bit on md5 hex)."""
+    return f"('0x'||substr(md5({s}),1,8))::BIGINT"
+
+
+def _flagship_expected_body() -> str:
+    """Shared DuckDB CTE chain that re-derives the synthetic generator
+    (mit_spark.synth) in pure SQL from the documents table: per-doc span
+    layout, per-media-ref rect geometry (including the shrink branch), and
+    every ground-truth text. This is a fully independent recompute — the
+    oracle never touches the Python generator — so the flagship's output
+    span counts and text multisets are checked end-to-end through detect,
+    OCR, and the regroup-free flat path."""
+    h = _h_sql
+    words = (
+        "panel speech bubble ink tone frame gutter page spread sketch line art "
+        "shadow scene motion sound effect title credit margin note scan raw"
+    ).split()
+    wlist = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return f"""
+    WITH ids AS (
+      SELECT format('doc-{{:08d}}', doc_id) AS doc, doc_id AS n FROM documents
+    ), params AS (
+      SELECT doc, (n % 50 = 49) AS heavy,
+             CASE WHEN n % 50 = 49
+                  THEN 68 + {h("'42:'||doc||':nheavy:0'")} % 193
+                  ELSE 1 + {h("'42:'||doc||':nspans:0'")} % 12 END AS n_spans
+      FROM ids
+    ), spans AS (
+      SELECT doc, heavy, unnest(range(n_spans)) AS off FROM params
+    ), kinds AS (
+      SELECT doc, off,
+             CASE WHEN heavy THEN off >= 4
+                  ELSE {h("'42:'||doc||':'||off||':kind:0'")} % 10 < 3 END AS is_media
+      FROM spans
+    ), tspans AS (
+      SELECT doc, off, 1 + {h("'42:'||doc||':'||off||':ns:0'")} % 3 AS n_sent
+      FROM kinds WHERE NOT is_media
+    ), sent AS (
+      SELECT doc, off, unnest(range(n_sent)) AS s FROM tspans
+    ), wcount AS (
+      SELECT doc, off, s, 4 + {h("'42:'||doc||':'||off||':nw:'||s||':0'")} % 6 AS nw
+      FROM sent
+    ), w AS (
+      SELECT doc, off, s, unnest(range(nw)) AS i FROM wcount
+    ), wsel AS (
+      SELECT doc, off, s, i,
+             list_extract({wlist}, 1 + {h("'42:'||doc||':'||off||':w:'||s||':'||i")} % 23) AS word
+      FROM w
+    ), sentences AS (
+      SELECT doc, off, s, string_agg(word, ' ' ORDER BY i) || '.' AS sent
+      FROM wsel GROUP BY doc, off, s
+    ), cleans AS (
+      SELECT doc, off, string_agg(sent, ' ' ORDER BY s) AS text
+      FROM sentences GROUP BY doc, off
+    ), media AS (
+      SELECT doc, off, 'm'||substr(md5('42:'||doc||':'||off||':media'),1,16) AS mref
+      FROM kinds WHERE is_media
+    ), mgeom AS (
+      SELECT doc, off, mref,
+             list_extract([320,384,448,512], 1 + {h("'42:'||mref||':side:0'")} % 4) // 2 AS cw,
+             list_extract([320,384,448,512], 1 + {h("'42:'||mref||':side2:0'")} % 4) // 2 AS ch,
+             1 + {h("'42:'||mref||':nr:0'")} % 4 AS n_rects
+      FROM media
+    ), rects AS (
+      SELECT doc, off, mref, cw, ch, unnest(range(n_rects)) AS k FROM mgeom
+    ), rgeom AS (
+      SELECT doc, off, mref, cw, ch, k,
+             3 + {h("'42:'||mref||':'||k||':len:0'")} % 4 AS L,
+             (4 + {h("'42:'||mref||':'||k||':thick:0'")} % 5) * 4 AS thick,
+             {h("'42:'||mref||':'||k||':vert:0'")} % 3 = 0 AS vert
+      FROM rects
+    ), rshrunk AS (
+      SELECT doc, off, mref, k,
+             CASE WHEN (cw - (CASE WHEN vert THEN thick ELSE L*12 END) - 88) <= 0
+                    OR (ch - (CASE WHEN vert THEN L*12 ELSE thick END) - 88) <= 0
+                  THEN 3 ELSE L END AS L2
+      FROM rgeom
+    ), rdigits AS (
+      SELECT doc, off, mref, k, unnest(range(L2)) AS i FROM rshrunk
+    ), rtext AS (
+      SELECT doc, off, mref, k,
+             string_agg(({h("'42:'||mref||':'||k||':txt:'||i")} % 10)::VARCHAR, ''
+                        ORDER BY i) AS text
+      FROM rdigits GROUP BY doc, off, mref, k
+    ), alltexts AS (
+      SELECT doc, text FROM cleans
+      UNION ALL
+      SELECT doc, text FROM rtext
+    )
+    """
+
+
+def _flagship_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mit_spark.plans.pipeline import extract_flat
+    from mit_spark.sources.docs_source import load_docs
+
+    return extract_flat(spark, load_docs(spark, sf_dir), FLAGSHIP_CFG).filter(
+        F.col("kind") != "error"
+    )
+
+
+@register(
+    "flagship_span_counts",
+    _flagship_expected_body()
+    + """
+    SELECT doc AS doc_id, count(*)::BIGINT AS n_out
+    FROM alltexts GROUP BY doc ORDER BY doc_id
+    """,
+)
+def flagship_span_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document output-span counts of the REAL pipeline (detect -> OCR
+    over rendered rasters) checked against DuckDB's from-scratch re-derivation
+    of the generator arithmetic: one output span per text span, one per
+    detected glyph rect. A missed detection, spurious quad, dropped doc, or
+    poison row shifts a count and fails the hash."""
+    return (
+        _flagship_flat(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_out"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "flagship_text_digest",
+    _flagship_expected_body()
+    + """
+    SELECT doc AS doc_id, md5(string_agg(text, '|' ORDER BY text)) AS text_digest
+    FROM alltexts GROUP BY doc ORDER BY doc_id
+    """,
+)
+def flagship_text_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-document digest of every extracted text (cleaned
+    text spans + OCR'd glyph strings) vs the same digest recomputed by DuckDB
+    from ground truth. One wrong OCR character anywhere in the corpus flips a
+    digest — this is value-level span equality, not just counts. (Reading
+    order itself is covered by reading_order_sql + the e2e golden suite;
+    sorting by text makes the digest independent of rank assignment.)"""
+    return (
+        _flagship_flat(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws("|", F.sort_array(F.collect_list("text")))
+            ).alias("text_digest")
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register("docs_span_stats", None)
@@ -1314,13 +1476,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("media_channel_stats", None)
 def media_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode media binaries (MITB container), frame-sample videos, and
-    aggregate per-source-kind channel statistics — the multimodal
-    feature-extraction plumbing end-to-end."""
+    """Decode media binaries (MITB container) and aggregate per-source-kind
+    channel statistics over every frame — the multimodal feature-extraction
+    plumbing end-to-end (frame_sample is exercised separately in
+    tests/test_multimodal.py). The doc slice is a DETERMINISTIC doc_id range
+    (not ``limit``, whose row choice depends on parquet file order)."""
     from mit_spark.operators.multimodal import channel_stats, media_table
     from mit_spark.sources.docs_source import load_docs
 
-    docs = load_docs(spark, sf_dir, limit=120)
+    docs = load_docs(spark, sf_dir, max_doc_no=120)
     stats = channel_stats(media_table(spark, docs))
     return (
         stats.groupBy("channel")
@@ -1346,7 +1510,15 @@ def streaming_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrapper (availableNow + foreachBatch + checkpoint), and return the
     extracted span counts per doc. A second drain of the same checkpoint
     appends nothing (exactly-once), which the span-count invariant checks
-    implicitly: duplicates would double n_spans."""
+    implicitly: duplicates would double n_spans.
+
+    IDEMPOTENT builder: the staging dir is derived deterministically from
+    sf_dir (no mkdtemp), arrival-file setup runs once behind a _STAGED
+    marker, and re-invocations only re-drain the already-checkpointed stream
+    (a no-op append) — calling the builder N times yields identical output
+    and writes no new files after the first call."""
+    import hashlib as _hl
+    import os
     import tempfile
 
     from mit_spark.config import DetectorOptions, PipelineConfig
@@ -1354,14 +1526,24 @@ def streaming_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mit_spark.streaming.micro_batch import run_stream
 
     cfg = PipelineConfig(detector=DetectorOptions(detect_size=512, emit_mask=False))
-    base = tempfile.mkdtemp(prefix="mit_stream_")
+    # ":v2" = generator/content version — bump if synth output changes so a
+    # stale staged dir from an older build can never satisfy the marker
+    key = _hl.md5((os.path.abspath(sf_dir) + ":v2").encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"mit_stream_{key}")
     inp, out, ckp = f"{base}/in", f"{base}/out", f"{base}/ckp"
-    docs = load_docs(spark, sf_dir, limit=40)
-    docs.limit(20).write.parquet(inp)
-    docs.write.mode("overwrite").parquet(f"{base}/all")
-    spark.read.parquet(f"{base}/all").subtract(spark.read.parquet(inp)).write.mode(
-        "append"
-    ).parquet(inp)
+    marker = f"{base}/_STAGED"
+    if not os.path.exists(marker):
+        # no marker -> any partial state is from a crashed setup: start clean
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        # deterministic doc slice: first 40 doc_ids, arrivals split 20/20
+        docs = load_docs(spark, sf_dir, max_doc_no=40)
+        docs.filter(F.col("doc_id") < "doc-00000020").write.mode("overwrite").parquet(inp)
+        docs.filter(F.col("doc_id") >= "doc-00000020").write.mode("append").parquet(inp)
+        with open(marker, "w") as fh:
+            fh.write("ok")
 
     run_stream(spark, inp, out, ckp, cfg, available_now=True)
     run_stream(spark, inp, out, ckp, cfg, available_now=True)  # exactly-once re-drain

@@ -29,13 +29,22 @@ def load_doc_ids(spark: SparkSession, sf_dir: str, limit: int | None = None) -> 
 
 
 def load_docs(
-    spark: SparkSession, sf_dir: str, limit: int | None = None, replicate: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    limit: int | None = None,
+    replicate: int = 1,
+    max_doc_no: int | None = None,
 ) -> DataFrame:
     """Interleaved docs table derived from the sf dir's doc_ids.
 
     ``replicate`` > 1 deterministically widens the corpus (benchmark scale
     knob): copy r gets doc_ids "doc<r>-%08d", which hash to fresh span
-    layouts through the same generator."""
+    layouts through the same generator.
+
+    ``max_doc_no`` keeps doc_ids below "doc-%08d" % max_doc_no — a
+    DETERMINISTIC slice (unlike ``limit`` on an unordered frame, whose row
+    choice depends on file/partition order); the predicate is applied to the
+    ids scan, before generation, so pruning reaches the parquet read."""
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -48,6 +57,8 @@ def load_docs(
             )
 
     ids = load_doc_ids(spark, sf_dir, limit)
+    if max_doc_no is not None:
+        ids = ids.filter(F.col("doc_id") < f"doc-{max_doc_no:08d}")
     if replicate > 1:
         tail = F.substring_index("doc_id", "-", -1)
         copies = [ids] + [

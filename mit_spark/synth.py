@@ -6,7 +6,7 @@ The engine's input table has exactly the BASELINE.json input_hint shape:
          spans: array<struct<kind:string, text:string,
                              media_ref:string, offset:int>>)
 
-All randomness is hash-derived (sha1 of seed:doc_id:offset strings), so any
+All randomness is hash-derived (md5 of seed:doc_id:offset strings), so any
 worker can regenerate any document independently — no driver-side state, no
 stored rasters. Media rasters are rendered on demand from ``media_ref``
 inside UDFs (render_media), mirroring how the reference decodes images at
@@ -47,7 +47,11 @@ _WORDS = (
 
 
 def _h(*parts) -> bytes:
-    return hashlib.sha1((":".join(str(p) for p in parts)).encode()).digest()
+    # md5 (not sha1) so DuckDB can recompute every derived quantity in pure
+    # SQL: the flagship span-count / text-digest oracles re-derive the whole
+    # generator chain engine-side (md5 is the one hash primitive Spark,
+    # DuckDB 1.0, and hashlib all share bit-identically).
+    return hashlib.md5((":".join(str(p) for p in parts)).encode()).digest()
 
 
 def _ints(*parts, n: int, lo: int, hi: int) -> list[int]:

@@ -90,3 +90,32 @@ def test_heavy_doc_media_extraction(spark):
     got = _rows_to_dict(extract(spark, docs_df, cfg).collect())
     want = {d["doc_id"]: _spans_tuples(d["spans"]) for d in extract_docs(heavy, cfg)}
     assert got == want
+
+
+def test_detection_recovers_ground_truth_exactly():
+    """Absolute-truth invariant backing the flagship SQL oracles
+    (flagship_span_counts / flagship_text_digest): at detect_size=512 the
+    detect->OCR path recovers EXACTLY media_truth's rects — same count, same
+    digit strings — for every media ref. The DuckDB oracle re-derives
+    media_truth arithmetic in SQL, so this equality is what makes those
+    oracles sound."""
+    from mit_spark.config import DetectorOptions, PreprocessorOptions
+    from mit_spark.oracle import extract_media_span
+    from mit_spark.synth import gen_doc, media_truth
+
+    opts = DetectorOptions(detect_size=512, emit_mask=False)
+    pre = PreprocessorOptions()
+    checked = 0
+    for i in range(30):
+        for s in gen_doc(f"doc-{i:08d}"):
+            if s["kind"] != "media":
+                continue
+            truth = media_truth(s["media_ref"])
+            want = sorted(r[4] for r in truth["rects"])
+            got = sorted(
+                x["text"]
+                for x in extract_media_span(s["media_ref"], s["offset"], opts, pre)
+            )
+            assert got == want, f"{s['media_ref']}: {got} != {want}"
+            checked += 1
+    assert checked > 20
