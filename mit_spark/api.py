@@ -32,7 +32,11 @@ _VALID_PROVIDERS = {"cuda", "coreml", "directml", "tensorrt"}
 
 class PyDefaultOptions:
     """lib.rs:84-101 — (detect_size, unclip_ratio, text_threshold,
-    box_threshold); remaining knobs keep DetectorOptions defaults."""
+    box_threshold); remaining knobs keep DetectorOptions defaults, EXCEPT
+    pre_filter: the reference's detect path always bilateral-filters the
+    non-rearrange input (dbnet/src/lib.rs:135), so the parity API turns it
+    on — the fast "none" profile is the distributed pipeline's opt-in
+    (PipelineConfig), not this surface's default."""
 
     def __init__(self, detect_size: int, unclip_ratio: float,
                  text_threshold: float, box_threshold: float):
@@ -41,7 +45,13 @@ class PyDefaultOptions:
             unclip_ratio=float(unclip_ratio),
             text_threshold=float(text_threshold),
             box_threshold=float(box_threshold),
+            pre_filter="bilateral",
         )
+
+    @staticmethod
+    def default() -> "PyDefaultOptions":
+        """DefaultOptions::default() (detectors/mod.rs:114-123)."""
+        return PyDefaultOptions(2048, 2.3, 0.5, 0.7)
 
 
 class PyPreprocessorOptions:
@@ -64,7 +74,11 @@ class PyImage:
 
         with open(path, "rb") as f:
             _, frames = decode_media(f.read())
-        self.arr = frames[0]
+        # decode_media yields read-only frombuffer views; the reference
+        # binding's to_numpy gives a writable array (lib.rs:160-166), and
+        # user scripts mutate it in place — explicit copy (ascontiguousarray
+        # would return the same read-only view for contiguous input)
+        self.arr = frames[0].copy()
 
     @staticmethod
     def from_numpy(array: np.ndarray) -> "PyImage":
@@ -127,11 +141,15 @@ class PyDetector:
     def detect(
         self,
         image: PyImage,
-        preprocessor_options: PyPreprocessorOptions,
-        options: PyDefaultOptions,
+        preprocessor_options: PyPreprocessorOptions | None = None,
+        options: PyDefaultOptions | None = None,
     ) -> tuple[list[PyQuadrilateral], np.ndarray]:
         if self._forward is None:
             self.load()  # paddle/src/lib.rs:134-139 lazy-loads on infer
+        if preprocessor_options is None:
+            preprocessor_options = PyPreprocessorOptions(False, False, False, False)
+        if options is None:
+            options = PyDefaultOptions.default()  # reference defaults incl. bilateral
         opts = options.inner
         quads, mask = _det.detect(
             image.arr,

@@ -170,8 +170,79 @@ def _bilinear_axis_coords(dst: int, src: int) -> tuple[np.ndarray, np.ndarray, n
     return lo, hi, frac
 
 
+# convolution-filter kernels for the remaining Interpolation variants
+# (image/mod.rs:212-218 -> fast_image_resize FilterType, rayon.rs:394-434):
+# Box, Bicubic (CatmullRom) and Lanczos3 are classic separable convolution
+# resamplers — kernel stretched by the scale factor when downscaling
+# (anti-aliasing), weights normalized per output pixel.
+
+
+def _kernel_box(x: np.ndarray) -> np.ndarray:
+    return (np.abs(x) <= 0.5).astype(np.float64)
+
+
+def _kernel_catmullrom(x: np.ndarray) -> np.ndarray:
+    # Keys cubic with a=-0.5 (Catmull-Rom), support 2
+    ax = np.abs(x)
+    out = np.zeros_like(ax)
+    m1 = ax < 1
+    m2 = (ax >= 1) & (ax < 2)
+    out[m1] = 1.5 * ax[m1] ** 3 - 2.5 * ax[m1] ** 2 + 1.0
+    out[m2] = -0.5 * ax[m2] ** 3 + 2.5 * ax[m2] ** 2 - 4.0 * ax[m2] + 2.0
+    return out
+
+
+def _kernel_lanczos3(x: np.ndarray) -> np.ndarray:
+    # sinc(x) * sinc(x/3) on |x| < 3 (np.sinc is the normalized sinc)
+    return np.where(np.abs(x) < 3, np.sinc(x) * np.sinc(x / 3.0), 0.0)
+
+
+_CONV_FILTERS = {
+    "box": (_kernel_box, 0.5),
+    "bicubic": (_kernel_catmullrom, 2.0),
+    "catmullrom": (_kernel_catmullrom, 2.0),
+    "lanczos3": (_kernel_lanczos3, 3.0),
+}
+
+
+def _conv_weights(dst: int, src: int, kernel, support: float) -> np.ndarray:
+    """(dst, src) row-normalized weight matrix for one axis; downscale
+    stretches the kernel by the scale factor (area-style anti-aliasing)."""
+    scale = src / dst
+    fscale = max(scale, 1.0)
+    centers = (np.arange(dst, dtype=np.float64) + 0.5) * scale  # in src space
+    src_pos = np.arange(src, dtype=np.float64) + 0.5
+    x = (src_pos[None, :] - centers[:, None]) / fscale
+    w = kernel(x)
+    # clamp-to-edge: fold any out-of-range kernel mass onto the edge texels
+    # by renormalizing over in-range taps (equivalent for constant borders)
+    rowsum = w.sum(axis=1, keepdims=True)
+    return (w / rowsum).astype(np.float32)
+
+
+def _resize_convolution(img: np.ndarray, width: int, height: int, name: str) -> np.ndarray:
+    kernel, support = _CONV_FILTERS[name]
+    h, w = img.shape[:2]
+    wy = _conv_weights(height, h, kernel, support)  # (height, h)
+    wx = _conv_weights(width, w, kernel, support)  # (width, w)
+    f = img.astype(np.float32)
+    if img.ndim == 3:
+        # separable: rows then columns as BLAS matmuls
+        tmp = np.tensordot(wy, f, axes=([1], [0]))  # (height, w, c)
+        out = np.tensordot(tmp, wx, axes=([1], [1]))  # (height, c, width)
+        out = np.moveaxis(out, 2, 1)  # (height, width, c)
+    else:
+        tmp = wy @ f
+        out = tmp @ wx.T
+    np.clip(out, 0.0, 255.0, out=out)
+    out += np.float32(0.5)
+    return out.astype(np.uint8)
+
+
 def resize(img: np.ndarray, width: int, height: int, interpolation: str = "bilinear") -> np.ndarray:
-    """Resample to (width, height); uint8 in -> uint8 out."""
+    """Resample to (width, height); uint8 in -> uint8 out. Full
+    Interpolation enum parity (image/mod.rs:212-218): nearest, box,
+    bilinear, bicubic (CatmullRom), lanczos3."""
     h, w = img.shape[:2]
     if (w, h) == (width, height):
         return img
@@ -179,6 +250,8 @@ def resize(img: np.ndarray, width: int, height: int, interpolation: str = "bilin
         yi = np.minimum((np.arange(height) * (h / height)).astype(np.int64), h - 1)
         xi = np.minimum((np.arange(width) * (w / width)).astype(np.int64), w - 1)
         return img[yi][:, xi].copy()
+    if interpolation in _CONV_FILTERS:
+        return _resize_convolution(img, width, height, interpolation)
     if interpolation != "bilinear":
         raise NotImplementedError(f"interpolation {interpolation!r}")
 

@@ -109,13 +109,15 @@ def run_extraction(
     for wave in waves:
         started = datetime.datetime.now()
         wave_docs = docs.filter(F.col("_bucket").isin(wave))
+        # one UDF pass per wave: persist the flat spans so the regrouped
+        # output AND the per-bucket poison-error tally (SURVEY.md §2.10)
+        # both read it without recomputing detect+OCR; unpersist in finally —
+        # a failed (poisoned) wave must not leak its cached partitions into
+        # the remaining waves of a long job
+        flat = extract_flat(spark, wave_docs.drop("_bucket"), config).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         try:
-            # one UDF pass per wave: persist the flat spans so the regrouped
-            # output AND the per-bucket poison-error tally (SURVEY.md §2.10)
-            # both read it without recomputing detect+OCR
-            flat = extract_flat(spark, wave_docs.drop("_bucket"), config).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
             err_by_bucket = {
                 r["b"]: int(r["n"])
                 for r in flat.filter(F.col("kind") == "error")
@@ -136,7 +138,6 @@ def run_extraction(
                 )
                 .collect()
             )
-            flat.unpersist()
             by_bucket = {r["bucket_id"]: r for r in stats}
             finished = datetime.datetime.now()
             rows = []
@@ -174,6 +175,8 @@ def run_extraction(
                     for b in wave
                 ],
             )
+        finally:
+            flat.unpersist()
     return metrics
 
 

@@ -138,3 +138,38 @@ def test_lineage_records_errors(spark, tmp_path):
     assert metrics["n_errors"] == 1
     lin = spark.read.parquet(str(tmp_path / "out" / "_lineage"))
     assert lin.agg(F.sum("n_errors")).first()[0] == 1
+
+
+def test_default_detector_options_match_reference():
+    """Session().default_detector() + PyDefaultOptions.default() must equal
+    DefaultOptions::default() (detectors/mod.rs:114-123), with the bilateral
+    pre-filter ON — the reference always bilateral-filters the non-rearrange
+    detect path (dbnet/src/lib.rs:135); the fast pre_filter='none' profile
+    belongs to PipelineConfig, not the parity API."""
+    from mit_spark.api import PyDefaultOptions, Session
+
+    det = Session().default_detector()
+    assert det._variant == "dbnet"
+    opts = PyDefaultOptions.default().inner
+    assert (opts.detect_size, opts.unclip_ratio, opts.text_threshold,
+            opts.box_threshold) == (2048, 2.3, 0.5, 0.7)
+    assert opts.pre_filter == "bilateral"
+
+
+def test_pyimage_from_path_is_writable(tmp_path):
+    """Mutating to_numpy() in place must work like the reference binding
+    (lib.rs:160-166 returns an owned writable array)."""
+    import numpy as np
+
+    from mit_spark.api import PyImage
+    from mit_spark.operators.multimodal import encode_media
+    from mit_spark.synth import media_ref_for, render_media
+
+    arr = render_media(media_ref_for("doc-00000002", 0))
+    p = tmp_path / "img.mitb"
+    p.write_bytes(encode_media(arr))
+    img = PyImage(str(p))
+    view = img.to_numpy()
+    view[0, 0, 0] = 123  # raises ValueError on a read-only frombuffer view
+    assert img.to_numpy()[0, 0, 0] == 123
+    assert np.array_equal(img.to_numpy()[1:], arr[1:])

@@ -114,3 +114,30 @@ def test_filter_boxes_and_adjust():
     out = filter_boxes_and_adjust(boxes, 2.0, 0.5)
     assert out.shape == (1, 4, 2)
     assert out[0].tolist() == [[20, 5], [40, 5], [40, 7], [20, 7]]
+
+
+def test_fill_polys_mask_vectorized_equals_scanline_port():
+    """Property test: the vectorized difference-array rasterizer is
+    bit-identical to the direct scalar port of paddle/src/lib.rs:211-264
+    across random (including degenerate / out-of-bounds / concave-ordered)
+    quads."""
+    import numpy as np
+
+    from mit_spark.operators.detector import (
+        _fill_polys_mask_scanline,
+        fill_polys_mask,
+    )
+    from mit_spark.operators.geometry import Quad
+
+    rng = np.random.RandomState(11)
+    for trial in range(60):
+        w, h = int(rng.randint(8, 90)), int(rng.randint(8, 90))
+        quads = []
+        for _ in range(rng.randint(1, 6)):
+            pts = rng.randint(-15, max(w, h) + 15, size=(4, 2)).astype(np.int64)
+            if trial % 7 == 0:
+                pts[:, 1] = pts[0, 1]  # all-horizontal degenerate
+            quads.append(Quad(pts, 1.0))
+        got = fill_polys_mask(quads, w, h)
+        want = _fill_polys_mask_scanline(quads, w, h)
+        assert np.array_equal(got, want), f"trial {trial} ({w}x{h})"

@@ -127,3 +127,57 @@ def test_bilateral_filter_smooths_noise_keeps_edges():
     assert out[:, :8].std() < noisy[:, :8].std()
     # edge magnitude preserved
     assert abs(int(out[:, 14:].mean()) - int(out[:, :10].mean())) > 150
+
+
+class TestConvolutionResize:
+    """Interpolation enum parity (image/mod.rs:212-218): box, bicubic
+    (CatmullRom), lanczos3 via the separable convolution resampler."""
+
+    def test_constant_image_preserved(self):
+        img = np.full((40, 56, 3), 173, dtype=np.uint8)
+        for filt in ("box", "bicubic", "lanczos3"):
+            out = ops.resize(img, 23, 17, filt)
+            assert out.shape == (17, 23, 3)
+            assert np.all(out == 173), filt
+
+    def test_box_integer_downscale_is_block_mean(self):
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, (32, 48, 3), dtype=np.uint8)
+        out = ops.resize(img, 12, 8, "box")
+        want = (
+            img.reshape(8, 4, 12, 4, 3).astype(np.float64).mean(axis=(1, 3)) + 0.5
+        ).astype(np.uint8)
+        assert np.array_equal(out, want)
+
+    def test_bicubic_upscale_tracks_linear_ramp(self):
+        # a linear ramp is reproduced exactly by any interpolating cubic
+        # (away from the clamped borders)
+        ramp = np.tile(np.linspace(0, 255, 64, dtype=np.float64), (16, 1))
+        img = (ramp + 0.5).astype(np.uint8)
+        out = ops.resize(img, 128, 16, "bicubic").astype(np.float64)
+        want = np.tile((np.arange(128) + 0.5) * (64 / 128) - 0.5, (16, 1))
+        want = want * (255.0 / 63.0)
+        inner = slice(8, 120)
+        assert np.max(np.abs(out[:, inner] - want[:, inner])) <= 2.0
+
+    def test_lanczos3_downscale_antialiases_stripes(self):
+        # 1px stripes at Nyquist: an anti-aliased 4x downscale lands near
+        # the mean gray, while nearest keeps full-contrast pixels
+        img = np.zeros((64, 64), dtype=np.uint8)
+        img[:, ::2] = 255
+        out = ops.resize(img, 16, 16, "lanczos3").astype(np.float64)
+        assert np.all(np.abs(out - 127.5) < 32)
+
+    def test_unknown_filter_still_raises(self):
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        with pytest.raises(NotImplementedError):
+            ops.resize(img, 4, 4, "hamming")
+
+    def test_grayscale_and_color_agree_per_channel(self):
+        rng = np.random.RandomState(3)
+        g = rng.randint(0, 256, (24, 24), dtype=np.uint8)
+        color = np.stack([g, g, g], axis=2)
+        for filt in ("box", "bicubic", "lanczos3"):
+            a = ops.resize(g, 11, 9, filt)
+            b = ops.resize(color, 11, 9, filt)
+            assert np.array_equal(np.stack([a, a, a], axis=2), b), filt

@@ -59,3 +59,57 @@ def test_tar_gz_extraction(model_root, tmp_path):
     sha = hashlib.sha256(b"tarred-model").hexdigest()
     p = model_db.get("detector", "dbnet", "model.onnx", url, sha)
     assert open(p, "rb").read() == b"tarred-model"
+
+
+def test_registry_constants_complete():
+    """Registry parity: dbnet url+sha256 (dbnet/src/lib.rs:43-50) plus the
+    craft/ctd registry rows (craft.rs:19-33, ctd.rs:19-29 — their detect is
+    todo!() in the reference, so only the rows are portable)."""
+    for entry in [model_db.DBNET_MODEL, *model_db.CRAFT_MODELS.values(),
+                  *model_db.CTD_MODELS.values()]:
+        assert set(entry) == {"kind", "name", "file", "url", "sha256"}
+        assert entry["url"].startswith("https://github.com/")
+        assert len(entry["sha256"]) == 64 and int(entry["sha256"], 16) >= 0
+    assert model_db.DBNET_MODEL["sha256"].startswith("7b348114")
+    assert model_db.CRAFT_MODELS["craft"]["file"] == "craft_mlt_25k.pth"
+    assert model_db.CTD_MODELS["model-cpu"]["file"].endswith(".onnx")
+
+
+def test_get_model_registry_entry_via_file_url(model_root, monkeypatch):
+    """get_model() drives the retry path with the registry-entry shape: a
+    wrong-hash entry dies, the corrected entry fetches and verifies."""
+    url, sha, _ = _make_artifact(model_root)
+    entry = dict(model_db.DBNET_MODEL, url=url)
+    with pytest.raises(model_db.ModelIntegrityError):
+        model_db.get_model(entry)  # real sha256 constant vs fixture bytes
+    p = model_db.get_model(dict(entry, sha256=sha))
+    assert open(p, "rb").read() == b"onnx-bytes-v1"
+
+
+def test_concurrent_processes_install_atomically(model_root):
+    """8 separate PROCESSES race get() on a cold shared cache: every one
+    must return a fully-verified artifact (flock + os.replace promote —
+    no partial reads, no transient FileNotFoundError)."""
+    import subprocess
+    import sys
+
+    url, sha, _ = _make_artifact(model_root, data=b"x" * (1 << 20))
+    code = (
+        "from mit_spark.sources import model_db;"
+        f"p = model_db.get('detector', 'dbnet', 'model.onnx', {url!r}, {sha!r});"
+        "import hashlib; assert hashlib.sha256(open(p,'rb').read()).hexdigest() == "
+        f"{sha!r}; print('OK')"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env={**__import__("os").environ,
+                 "MIT_SPARK_MODEL_ROOT": str(model_root / "cache")},
+        )
+        for _ in range(8)
+    ]
+    for pr in procs:
+        out, err = pr.communicate(timeout=120)
+        assert pr.returncode == 0, err.decode()
+        assert out.strip() == b"OK"
