@@ -11,11 +11,18 @@ master at first SparkContext creation, so two levels in one process would
 silently share the first context's core count.
 
 Method notes:
-  * one full warmup pass over a small doc slice first — python workers are
-    long-lived daemons (reused across tasks), so arena/page-fault warmup is
-    a one-time per-worker cost, excluded exactly like the reference's
-    criterion benches exclude model load (onnx_bench.rs:130-166);
-  * the measured pass is sized to dominate Spark fixed costs.
+  * TWO full-size warmup passes per level — stage-level profiling
+    (BENCH/profile_stages.py) showed the first pass in a fresh JVM runs up
+    to 1.7x slower (C2 JIT of codegen'd stages, shuffle + Arrow paths),
+    which inflates the low level less than the high one and corrupts the
+    ratio; the reference's criterion benches exclude the same class of
+    one-time cost (model load, onnx_bench.rs:130-166);
+  * measured passes are INTERLEAVED A/B/A/B across the two levels (both
+    children stay alive behind a stdin RUN/QUIT protocol), so slow drift in
+    the shared sandbox (page cache, sibling load) hits both levels equally
+    instead of biasing whichever ran second — the sequential design showed
+    +-10-18% window drift between its two halves;
+  * best-of-3 per level (criterion-style min) on top of that.
 
 Run:  python BENCH/scaling.py [n_docs]     (env PAIR="8,32" to override)
 """
@@ -33,10 +40,13 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROUNDS = int(os.environ.get("ROUNDS", "3"))
 
 
-def run_at(cpus: int, n_docs: int) -> dict:
-    """Executed inside a dedicated subprocess (see __main__ dispatch)."""
+def serve(cpus: int, n_docs: int) -> None:
+    """Child: build the job once, warm up, then execute one measured pass
+    per RUN line on stdin until QUIT. All chatter on stdout is one JSON
+    object per line, flushed."""
     from mit_spark.config import DetectorOptions, PipelineConfig
     from mit_spark.plans.pipeline import extract
     from mit_spark.session import make_session
@@ -53,50 +63,67 @@ def run_at(cpus: int, n_docs: int) -> dict:
     docs = load_docs(spark, SF_DIR, replicate=replicate).cache()
     n = docs.count()
     n_spans = docs.selectExpr("sum(size(spans))").collect()[0][0]
-    # Warmup: TWO full-size passes, not a token slice. Stage-level profiling
-    # (BENCH/profile_stages.py) showed the first pass in a fresh JVM runs up
-    # to 1.7x slower than steady state — C2 JIT of codegen'd stages, shuffle
-    # and Arrow paths all compile during it — which systematically inflates
-    # the low-parallelism level less than the high one and corrupts the
-    # efficiency ratio. The reference's criterion benches exclude the same
-    # class of one-time cost (model load, onnx_bench.rs:130-166).
-    for _ in range(2):
+    for _ in range(2):  # full-size warmup (see module docstring)
         extract(spark, docs, cfg).write.format("noop").mode("overwrite").save()
-    # best-of-3 (criterion-style): the sandbox VM shows +-25% run noise
-    walls = []
-    for _ in range(3):
+    print(json.dumps({"ready": True, "cpus": cpus, "n_docs": int(n),
+                      "n_spans": int(n_spans)}), flush=True)
+    for line in sys.stdin:
+        if line.strip() == "QUIT":
+            break
         t0 = time.time()
         extract(spark, docs, cfg).write.format("noop").mode("overwrite").save()
-        walls.append(time.time() - t0)
-    wall = min(walls)
+        print(json.dumps({"wall": round(time.time() - t0, 3)}), flush=True)
     spark.stop()
-    return {
-        "cpus": cpus,
-        "n_docs": int(n),
-        "n_spans": int(n_spans),
-        "wall_sec": round(wall, 2),
-        "walls_all": [round(w, 2) for w in walls],
-        "docs_per_sec": round(n / wall, 3),
-        "spans_per_sec": round(n_spans / wall, 3),
-    }
 
 
 def main() -> int:
     pair = tuple(int(x) for x in os.environ.get("PAIR", "4,16").split(","))
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
-    results = []
+    procs = {}
     for cpus in pair:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(cpus), str(n_docs)],
-            capture_output=True,
-            text=True,
-            cwd=REPO_ROOT,
+        procs[cpus] = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--serve", str(cpus), str(n_docs)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1, cwd=REPO_ROOT,
         )
-        line = out.stdout.strip().splitlines()[-1]
-        results.append(json.loads(line))
-    low, high = results
+    meta = {}
+    for cpus, p in procs.items():  # both children warm up concurrently
+        meta[cpus] = json.loads(p.stdout.readline())
+        assert meta[cpus].get("ready"), meta[cpus]
+    walls: dict[int, list[float]] = {c: [] for c in pair}
+    for _ in range(ROUNDS):  # interleave A/B per round
+        for cpus in pair:
+            p = procs[cpus]
+            p.stdin.write("RUN\n")
+            p.stdin.flush()
+            walls[cpus].append(json.loads(p.stdout.readline())["wall"])
+    for p in procs.values():
+        p.stdin.write("QUIT\n")
+        p.stdin.flush()
+        p.wait(timeout=120)
+
+    def level(cpus: int) -> dict:
+        wall = min(walls[cpus])
+        m = meta[cpus]
+        return {
+            "cpus": cpus,
+            "n_docs": m["n_docs"],
+            "n_spans": m["n_spans"],
+            "wall_sec": round(wall, 2),
+            "walls_all": [round(w, 2) for w in walls[cpus]],
+            "docs_per_sec": round(m["n_docs"] / wall, 3),
+            "spans_per_sec": round(m["n_spans"] / wall, 3),
+        }
+
+    low, high = level(pair[0]), level(pair[1])
     eff = (high["docs_per_sec"] / low["docs_per_sec"]) / (pair[1] / pair[0])
-    res = {"low": low, "high": high, "scaling_efficiency": round(eff, 3)}
+    res = {
+        "low": low,
+        "high": high,
+        "scaling_efficiency": round(eff, 3),
+        "interleaved": True,
+        "rounds": ROUNDS,
+    }
     print(json.dumps(res, indent=2))
     with open(
         os.path.join(REPO_ROOT, "BENCH", f"scaling_result_{pair[0]}_{pair[1]}.json"), "w"
@@ -106,7 +133,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        print(json.dumps(run_at(int(sys.argv[2]), int(sys.argv[3]))))
+    if len(sys.argv) > 1 and sys.argv[1] == "--serve":
+        serve(int(sys.argv[2]), int(sys.argv[3]))
         raise SystemExit(0)
     raise SystemExit(main())

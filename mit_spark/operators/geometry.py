@@ -101,7 +101,10 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     sorted(set(...)) of tuples gives the same lexicographic dedup+order as
     np.unique(axis=0)."""
     a = np.asarray(points, dtype=np.float64)
-    pts = sorted({(float(x), float(y)) for x, y in a})
+    # tolist() yields native python floats in one C pass — same IEEE-754
+    # doubles, same lexicographic dedup/order, ~4x less per-call overhead
+    # than per-element float() on numpy scalars
+    pts = sorted(set(map(tuple, a.tolist())))
     if len(pts) <= 2:
         return np.array(pts, dtype=np.float64).reshape(-1, 2)
 
@@ -146,17 +149,22 @@ def polygon_area(poly: np.ndarray) -> float:
 class Quad:
     """Canonicalized text-region quadrilateral (pts int64 [TL,TR,BR,BL])."""
 
-    __slots__ = ("pts", "score", "vertical")
+    __slots__ = ("pts", "score", "vertical", "_area")
 
     def __init__(self, pts, score: float):
         p, v = sort_pnts(np.asarray(pts, dtype=np.int64).reshape(4, 2))
         self.pts = p
         self.score = float(score)
         self.vertical = v
+        self._area: float | None = None
 
     def area(self) -> float:
-        """Convex-hull unsigned area (textlines.rs:33-44)."""
-        return polygon_area(convex_hull(self.pts.astype(np.float64)))
+        """Convex-hull unsigned area (textlines.rs:33-44). Memoized: pts
+        are fixed at construction and the O-family filters re-query area
+        for the same quad several times per image."""
+        if self._area is None:
+            self._area = polygon_area(convex_hull(self.pts.astype(np.float64)))
+        return self._area
 
     def structure(self) -> np.ndarray:
         """Midpoints of (p0,p1),(p2,p3),(p1,p2),(p3,p0) with Rust i64 `/2`."""

@@ -243,8 +243,15 @@ def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def channel_stats(media_df: DataFrame) -> DataFrame:
-    """Feature extraction: per-channel mean/std over all frames (float32
-    accumulation, rounded to 4dp). One output row per (media_ref, channel)."""
+    """Feature extraction: per-channel mean/std over all frames, rounded to
+    4dp. Moments come from a 256-bin integer histogram per channel — ONE
+    pass over the uint8 payload instead of a 4x float32 expansion plus the
+    two extra passes np.std makes; exact in float64 (a histogram of uint8
+    values loses nothing). This is the hot loop of the media-stats entry:
+    at 32 workers the float32 formulation was DRAM-bound and wobbly."""
+
+    _vals = np.arange(256, dtype=np.float64)
+    _vals2 = _vals * _vals
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -254,12 +261,16 @@ def channel_stats(media_df: DataFrame) -> DataFrame:
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 _, frames = decode_media(bytes(content))
                 f, h, w, c = frames.shape
-                flat = frames.reshape(-1, c).astype(np.float32)
-                mean = flat.mean(axis=0)
-                std = flat.std(axis=0)
+                flat = frames.reshape(-1, c)
+                n = flat.shape[0]
                 for ch in range(c):
+                    hist = np.bincount(
+                        np.ascontiguousarray(flat[:, ch]), minlength=256
+                    ).astype(np.float64)
+                    mean = float(hist @ _vals) / n
+                    var = max(float(hist @ _vals2) / n - mean * mean, 0.0)
                     rows.append(
-                        (ref, w, h, f, ch, round(float(mean[ch]), 4), round(float(std[ch]), 4))
+                        (ref, w, h, f, ch, round(mean, 4), round(var ** 0.5, 4))
                     )
             yield pd.DataFrame(
                 rows,

@@ -999,6 +999,11 @@ def flagship_text_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("docs_span_stats", None)
 def docs_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-side span-kind counts. rows-only BY NECESSITY: the interleaved
+    docs table is generated by the Python synth chain inside mapInPandas, so
+    DuckDB has no table to aggregate — the SQL-checkable projections of the
+    same generator are flagship_span_counts / flagship_text_digest, whose
+    oracles re-derive the chain in SQL."""
     from mit_spark.sources.docs_source import load_docs
 
     docs = load_docs(spark, sf_dir)

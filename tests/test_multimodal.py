@@ -89,7 +89,7 @@ def test_channel_stats_matches_numpy(spark):
     stats = {(r.media_ref, r.channel): r for r in channel_stats(media).collect()}
     for r in media.collect():
         _, frames = decode_media(bytes(r.content))
-        flat = frames.reshape(-1, frames.shape[3]).astype(np.float32)
+        flat = frames.reshape(-1, frames.shape[3]).astype(np.float64)
         for ch in range(frames.shape[3]):
             s = stats[(r.media_ref, ch)]
             assert s.mean == pytest.approx(round(float(flat.mean(axis=0)[ch]), 4))
