@@ -1560,6 +1560,162 @@ def streaming_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontaminate_ngrams",
+    """
+    WITH corpus AS (
+      SELECT doc_id, split(trim(text), ' ') AS words FROM documents
+    ), tok AS (
+      SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w
+      FROM corpus
+    ), g AS (
+      SELECT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' '
+               || lead(w, 3) OVER win AS gram,
+             lead(w, 3) OVER win AS w7
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), gd AS (
+      SELECT DISTINCT doc_id, gram FROM g WHERE w7 IS NOT NULL
+    )
+    SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc, count(*) AS n_shared
+    FROM gd t JOIN gd b ON t.gram = b.gram
+    WHERE t.doc_id % 50 <> 7 AND b.doc_id % 50 = 7
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data op that removes docs
+    overlapping an evaluation set: flag every training doc sharing a word
+    n-gram with any holdout doc (doc_id % 50 == 7 plays the benchmark;
+    n=4 here so the tiny synthetic vocab yields a non-trivial overlap set —
+    production corpora use 8-13-grams, a constant, not a plan change).
+    Architecture is the one that scales: the HOLDOUT side's distinct grams
+    are tiny (benchmarks are small) and broadcast, so the training corpus
+    streams map-side through a hash probe — no shuffle of the 100 TB side."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("words")
+    )
+    tok = d.select("doc_id", F.posexplode("words").alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, 4)]
+    grams = tok.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("gram"),
+        F.lead("w", 3).over(win).alias("w7"),
+    ).filter(F.col("w7").isNotNull())
+    gd = grams.select("doc_id", "gram").distinct()
+    bench = gd.filter(F.col("doc_id") % 50 == 7).withColumnRenamed("doc_id", "bench_doc")
+    train = gd.filter(F.col("doc_id") % 50 != 7).withColumnRenamed("doc_id", "train_doc")
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("train_doc", "bench_doc")
+    )
+
+
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+1 555-[0-9]{4}"
+
+
+@register(
+    "pii_redaction",
+    f"""
+    WITH pii AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' contact: user' || doc_id || '@example.com or +1 555-'
+                       || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_digest,
+           CASE WHEN regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                    '{_PHONE_RE}', '<PHONE>', 'g') <> t
+                THEN 1 ELSE 0 END AS was_redacted
+    FROM pii ORDER BY doc_id
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — regex redaction of emails/phones, a standard
+    training-data hygiene pass. PII is INJECTED deterministically (every
+    5th doc gets a synthetic email+phone) so both engines see identical
+    input; output is the per-doc digest of the redacted text plus a
+    was_redacted flag. Pure Catalyst regexp_replace (codegen, no UDF);
+    the patterns are restricted to the regex subset Java and RE2 share."""
+    d = read_table(spark, sf_dir, "documents")
+    pii_t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    red = F.regexp_replace(
+        F.regexp_replace(pii_t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.md5(red).alias("redacted_digest"),
+        F.when(red != pii_t, 1).otherwise(0).alias("was_redacted"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "streaming_windowed_stats",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events, mx
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def streaming_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming with EVENT-TIME WINDOWS + WATERMARK, checked by
+    a plain SQL oracle: stream the events table, window(ts, 1h) per
+    event_type with a 1h watermark, drain with availableNow in APPEND mode.
+    Append emits exactly the windows the final watermark closed
+    (window_end <= max(ts) - 1h), so the bounded drain is a deterministic
+    pure function of the input — the oracle applies the same cutoff in SQL.
+    The two open trailing windows stay in (discarded) state, which is the
+    late-data semantics the north rule's streaming stage needs at scale."""
+    import hashlib as _hl
+    import os
+    import shutil
+    import tempfile
+
+    from mit_spark.streaming.micro_batch import windowed_event_stats
+
+    src = f"{sf_dir}/events.parquet"
+    # the file stream source requires a DIRECTORY: stage the events file(s)
+    # once behind a marker (same idempotent pattern as streaming_drain)
+    key = _hl.md5((os.path.abspath(sf_dir) + ":events:v1").encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"mit_events_{key}")
+    marker = f"{base}/_STAGED"
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        if os.path.isdir(src):
+            for f_ in os.listdir(src):
+                if f_.endswith(".parquet"):
+                    shutil.copy(os.path.join(src, f_), base)
+        else:
+            shutil.copy(src, base)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    out = windowed_event_stats(spark, base, name=f"wes_{key}")
+    return out.orderBy("hour", "event_type")
+
+
 def _minhash_verify_sql() -> str:
     mh = ",\n             ".join(f"min(d[{5*j+1}:{5*j+5}]) AS mh{j}" for j in range(6))
     return f"""

@@ -46,6 +46,7 @@ def make_session(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")  # NTZ<->TZ casts relabel
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

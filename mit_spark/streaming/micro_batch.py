@@ -51,3 +51,56 @@ def run_stream(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def windowed_event_stats(
+    spark: SparkSession,
+    events_path: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    name: str = "windowed_event_stats",
+):
+    """Watermarked event-time windowed aggregation (SURVEY.md §2.8 late-data
+    handling): stream the events files, apply withWatermark(ts) + window(ts)
+    per event_type, drain with availableNow into a memory sink in APPEND
+    mode, and return the emitted rows as a batch DataFrame.
+
+    Append mode emits exactly the windows the watermark has closed
+    (window_end <= max(ts) - delay), so on a bounded drain the result is a
+    deterministic pure function of the input — which is what lets the
+    driver gate check it against a plain SQL oracle. No checkpoint is kept:
+    every invocation reprocesses the same bounded input (idempotent
+    builder), unlike run_stream whose checkpointed exactly-once resume is
+    tested separately.
+    """
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    # parquet stores TIMESTAMP_NTZ; watermarks require zoned TIMESTAMP —
+    # the cast is a pure relabel (session tz is UTC in tests/bench)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
