@@ -1829,3 +1829,82 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _dedup_clusters_sql() -> str:
+    """Recursive-CTE oracle for connected components over the verified
+    dup pairs: cluster_id = min doc_id reachable through the (undirected)
+    pair graph. DuckDB's WITH RECURSIVE computes the transitive closure;
+    Spark computes the same fixpoint by iterative min-label propagation."""
+    verify = _minhash_verify_sql()
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({verify}) vp
+    ), edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS t FROM pairs
+    ), reach AS (
+      SELECT s AS doc, t AS r FROM edges
+      UNION
+      SELECT reach.doc, edges.t FROM reach JOIN edges ON reach.r = edges.s
+    )
+    SELECT doc AS doc_id, least(doc, min(r)) AS cluster_id
+    FROM reach GROUP BY doc ORDER BY doc_id
+    """
+
+
+@register("dedup_clusters", _dedup_clusters_sql())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER ASSIGNMENT — the dedup finishing step: connected
+    components over the LSH-candidates -> exact-Jaccard-verified pair graph
+    (minhash_verified_dups), labeling every involved doc with the min
+    doc_id of its component (the canonical survivor; keep one row per
+    cluster downstream).
+
+    Spark side is iterative min-label propagation to a fixpoint: each round
+    every vertex takes min(own label, neighbors' labels) — O(diameter)
+    rounds of shuffle-joins on the PAIR graph only (|pairs| << corpus; the
+    corpus itself is never iterated). The loop's driver-side work is one
+    scalar convergence count per round — no data collect. Genuinely
+    iterative (not single-pass SQL), which is why the oracle uses a
+    recursive CTE."""
+    pairs = minhash_verified_dups(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "s", "doc_b": "t"}).cache()
+    labels = (
+        edges.select(F.col("s").alias("doc")).distinct()
+        .withColumn("label", F.col("doc"))
+        .cache()
+    )
+    for _ in range(20):  # components here have tiny diameter; bound is a safety net
+        nb = (
+            edges.join(labels, edges.t == labels.doc)
+            .groupBy("s")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb, labels.doc == nb.s, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
