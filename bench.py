@@ -38,6 +38,12 @@ BENCH_QUERIES = [
     "language_id_ngram",
     "rolling_fingerprint",
     "token_count_bpe",
+    "decontaminate_ngrams",
+    "pii_redaction",
+    "dedup_clusters",
+    "stratified_sample",
+    "sequence_pack",
+    "streaming_windowed_stats",
     "media_channel_stats",
 ]
 

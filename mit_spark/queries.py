@@ -1908,3 +1908,78 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn % 10 = 1
+    ORDER BY lang, doc_id
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — every 10th doc per language
+    (row_number over doc_id, not rand(): reproducible across runs/engines,
+    which is what a training-data ablation needs). Per-stratum windows
+    shuffle once on lang; at 100 TB swap row_number for a hash-mod
+    predicate (doc_id % 10 = k) to avoid the window sort entirely."""
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") % 10 == 1)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@register(
+    "sequence_pack",
+    """
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(split(trim(text), ' ')) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tok,
+             COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM t
+    )
+    SELECT shard, (prior // 2048)::BIGINT AS seq_id,
+           count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens
+    FROM c GROUP BY 1, 2 ORDER BY shard, seq_id
+    """,
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget SEQUENCE PACKING — assign whole documents to 2048-token
+    training sequences by running token count (greedy, order-preserving
+    within a shard). Packing is inherently sequential, so the corpus is
+    hash-sharded (doc_id % 8) and each shard packs independently under a
+    partitioned window — the cumulative sum never crosses shards, which is
+    exactly how a 100 TB run parallelizes (one window sort per shard, no
+    global order). Output: docs + tokens per (shard, seq)."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split(F.trim("text"), " ")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("prior", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return (
+        c.groupBy("shard", F.floor(F.col("prior") / 2048).cast("bigint").alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("shard", "seq_id")
+    )
