@@ -81,3 +81,12 @@ class PipelineConfig:
     def to_dict(self) -> dict:
         d = asdict(self)
         return d
+
+
+# Output-content spec version: bump when any change alters extracted bytes
+# for the SAME input (e.g. the fused boilerplate-regex rewrite, the sha1->md5
+# generator switch). checkpoint.run_extraction stamps it next to the lineage
+# table and refuses to RESUME a corpus written under a different spec —
+# silently mixing cleaning-spec versions in one output table is the failure
+# mode this guards (a resumed 10^12-doc job must be byte-consistent).
+PIPELINE_SPEC_VERSION = "2"

@@ -85,11 +85,38 @@ def run_extraction(
     for kill/resume tests (stop after k waves like a preempted job)."""
     from pyspark import StorageLevel
 
+    from mit_spark.config import PIPELINE_SPEC_VERSION
     from mit_spark.plans.pipeline import extract_flat, regroup
 
     config = config or PipelineConfig()
     n_buckets = config.n_buckets
     wave_size = wave_size or max(n_buckets // 4, 1)
+
+    # spec-version stamp: a resumed run must produce byte-identical spans to
+    # the waves already on disk; refuse to mix cleaning-spec versions in one
+    # output table (ADVICE: regex-fuse changed outputs for ill-formed markup)
+    os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        import json
+
+        with open(meta_path) as fh:
+            prior = json.load(fh).get("pipeline_spec_version")
+        if resume and prior != PIPELINE_SPEC_VERSION:
+            raise RuntimeError(
+                f"output dir {out_dir} was written by pipeline spec {prior!r}; "
+                f"this build is {PIPELINE_SPEC_VERSION!r} — resuming would mix "
+                "cleaning-spec versions in one table (use a fresh out_dir or "
+                "resume=False to restart)"
+            )
+        if not resume:  # restart: the dir now belongs to this spec
+            with open(meta_path, "w") as fh:
+                json.dump({"pipeline_spec_version": PIPELINE_SPEC_VERSION}, fh)
+    else:
+        import json
+
+        with open(meta_path, "w") as fh:
+            json.dump({"pipeline_spec_version": PIPELINE_SPEC_VERSION}, fh)
 
     docs = docs_df.withColumn("_bucket", bucket_of(F.col("doc_id"), n_buckets))
     done = done_buckets(spark, out_dir) if resume else set()

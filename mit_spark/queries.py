@@ -1870,9 +1870,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative (not single-pass SQL), which is why the oracle uses a
     recursive CTE."""
     pairs = minhash_verified_dups(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).withColumnsRenamed({"doc_a": "s", "doc_b": "t"}).cache()
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .withColumnsRenamed({"doc_a": "s", "doc_b": "t"})
+        # the pair graph is tiny relative to the corpus (|edges| ~ dup rate);
+        # a handful of partitions keeps each fixpoint round's task count —
+        # and so the per-round scheduling floor — proportional to the graph
+        .coalesce(8)
+        .cache()
+    )
     labels = (
         edges.select(F.col("s").alias("doc")).distinct()
         .withColumn("label", F.col("doc"))

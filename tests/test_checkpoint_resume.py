@@ -75,3 +75,29 @@ def test_idempotent_full_rerun(spark, tmp_path):
     m = run_extraction(spark, docs_df, out_dir, CFG)  # everything done -> no-op
     assert m["buckets_processed"] == 0
     assert read_extracted(spark, out_dir).count() == n1
+
+
+def test_resume_refuses_mismatched_spec_version(spark, tmp_path):
+    """A resumed run must not mix cleaning-spec versions in one output
+    table: run_extraction stamps _meta.json and refuses resume=True when
+    the stamp differs from this build's PIPELINE_SPEC_VERSION."""
+    import json
+
+    import pytest
+
+    from mit_spark.config import DetectorOptions, PipelineConfig
+    from mit_spark.plans.checkpoint import run_extraction
+    from mit_spark.schema import DOCS
+    from mit_spark.synth import gen_docs
+
+    cfg = PipelineConfig(detector=DetectorOptions(detect_size=256), n_buckets=4)
+    docs = spark.createDataFrame(gen_docs(6), schema=DOCS)
+    out = str(tmp_path / "out")
+    run_extraction(spark, docs, out, cfg, max_waves=1)
+    meta = json.load(open(f"{out}/_meta.json"))
+    assert meta["pipeline_spec_version"]
+
+    # simulate output written by an older build
+    json.dump({"pipeline_spec_version": "0-old"}, open(f"{out}/_meta.json", "w"))
+    with pytest.raises(RuntimeError, match="spec"):
+        run_extraction(spark, docs, out, cfg, resume=True)
