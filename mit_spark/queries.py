@@ -1991,3 +1991,76 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "seq_id")
     )
+
+
+def _semantic_verify_sql() -> str:
+    near = _near_dup_sql()
+    return f"""
+    WITH pairs AS (
+      SELECT * FROM ({near}) p
+    ), corpus AS (
+      SELECT doc_id, split(trim(text), ' ') AS words FROM documents
+    ), tok AS (
+      SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle,
+             lead(w, 2) OVER win AS w2
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), sets AS (
+      SELECT doc_id, list_distinct(list(md5(shingle))) AS ds
+      FROM sh WHERE w2 IS NOT NULL GROUP BY doc_id
+    )
+    SELECT p.vec_a, p.vec_b, p.sim,
+           round(len(list_filter(x.ds, s -> list_contains(y.ds, s)))
+                 / (len(x.ds) + len(y.ds)
+                    - len(list_filter(x.ds, s -> list_contains(y.ds, s)))), 4)
+             AS lex_jaccard
+    FROM pairs p JOIN sets x ON p.vec_a = x.doc_id
+                 JOIN sets y ON p.vec_b = y.doc_id
+    ORDER BY vec_a, vec_b
+    """
+
+
+@register("semantic_dedup_verified", _semantic_verify_sql())
+def semantic_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup: embedding-LSH candidate pairs (recall stage,
+    embedding_near_dup's bucketed cosine) annotated with LEXICAL 3-gram
+    Jaccard over the aligned documents (vec_id == doc_id in this corpus).
+    This is the semantic-dedup shape used on training corpora: embeddings
+    propose, text verifies. At scale only candidate doc_ids' shingle sets
+    are built (semi-join prune before the tokenize), so the verify cost
+    follows |candidates|, not the corpus."""
+    pairs = embedding_near_dup(spark, sf_dir)
+    ids = (
+        pairs.select(F.col("vec_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("vec_b").alias("doc_id")))
+        .distinct()
+    )
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .join(ids, "doc_id", "leftsemi")
+        .select("doc_id", F.split(F.trim("text"), " ").alias("words"))
+    )
+    tok = d.select("doc_id", F.posexplode("words").alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    sh = tok.select(
+        "doc_id",
+        F.concat_ws(" ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)).alias(
+            "shingle"
+        ),
+        F.lead("w", 2).over(win).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    sets = sh.groupBy("doc_id").agg(F.collect_set(F.md5("shingle")).alias("ds"))
+    x, y = sets.alias("x"), sets.alias("y")
+    inter = F.size(F.array_intersect(F.col("x.ds"), F.col("y.ds")))
+    union = F.size(F.col("x.ds")) + F.size(F.col("y.ds")) - inter
+    return (
+        pairs.join(x, pairs.vec_a == F.col("x.doc_id"))
+        .join(y, pairs.vec_b == F.col("y.doc_id"))
+        .select(
+            "vec_a", "vec_b", "sim", F.round(inter / union, 4).alias("lex_jaccard")
+        )
+        .orderBy("vec_a", "vec_b")
+    )
