@@ -2064,3 +2064,36 @@ def semantic_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "token_length_quantiles",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           round(quantile_cont(n_tok, 0.5), 4) AS p50,
+           round(quantile_cont(n_tok, 0.9), 4) AS p90,
+           round(quantile_cont(n_tok, 0.99), 4) AS p99
+    FROM (SELECT lang, len(split(trim(text), ' ')) AS n_tok FROM documents)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def token_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profiling — EXACT per-language token-count quantiles
+    (p50/p90/p99). Exact `percentile` (interpolating, = quantile_cont)
+    rather than approx_percentile so the result is engine-deterministic;
+    at 100 TB the per-group sort cost is bounded by group size, and the
+    approx sketch is the documented swap-in when exactness can yield."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split(F.trim("text"), " ")).alias("n_tok")
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.expr("percentile(n_tok, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_tok, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(n_tok, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("lang")
+    )
