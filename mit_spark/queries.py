@@ -1869,7 +1869,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar convergence count per round — no data collect. Genuinely
     iterative (not single-pass SQL), which is why the oracle uses a
     recursive CTE."""
-    pairs = minhash_verified_dups(spark, sf_dir).select("doc_a", "doc_b")
+    # cache the pair list BEFORE the symmetric union: both union branches
+    # reference it, and uncached each branch would re-run the entire
+    # minhash candidates->verify pipeline inside one job
+    pairs = minhash_verified_dups(spark, sf_dir).select("doc_a", "doc_b").cache()
     edges = (
         pairs.unionByName(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -1913,6 +1916,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    pairs.unpersist()
     return labels.select(
         F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
