@@ -906,24 +906,33 @@ def _flagship_expected_body() -> str:
       FROM kinds WHERE is_media
     ), mgeom AS (
       SELECT doc, off, mref,
-             list_extract([320,384,448,512], 1 + {h("'42:'||mref||':side:0'")} % 4) // 2 AS cw,
-             list_extract([320,384,448,512], 1 + {h("'42:'||mref||':side2:0'")} % 4) // 2 AS ch,
+             list_extract([320,384,448,512], 1 + {h("'42:'||mref||':side:0'")} % 4) AS pw,
+             list_extract([320,384,448,512], 1 + {h("'42:'||mref||':side2:0'")} % 4) AS ph,
              1 + {h("'42:'||mref||':nr:0'")} % 4 AS n_rects
       FROM media
     ), rects AS (
-      SELECT doc, off, mref, cw, ch, unnest(range(n_rects)) AS k FROM mgeom
+      SELECT doc, off, mref, pw, ph, pw // 2 AS cw, ph // 2 AS ch,
+             unnest(range(n_rects)) AS k
+      FROM mgeom
     ), rgeom AS (
-      SELECT doc, off, mref, cw, ch, k,
+      SELECT doc, off, mref, pw, ph, cw, ch, k,
              3 + {h("'42:'||mref||':'||k||':len:0'")} % 4 AS L,
              (4 + {h("'42:'||mref||':'||k||':thick:0'")} % 5) * 4 AS thick,
              {h("'42:'||mref||':'||k||':vert:0'")} % 3 = 0 AS vert
       FROM rects
     ), rshrunk AS (
-      SELECT doc, off, mref, k,
-             CASE WHEN (cw - (CASE WHEN vert THEN thick ELSE L*12 END) - 88) <= 0
-                    OR (ch - (CASE WHEN vert THEN L*12 ELSE thick END) - 88) <= 0
-                  THEN 3 ELSE L END AS L2
-      FROM rgeom
+      SELECT doc, off, mref, pw, ph, k,
+             CASE WHEN shrink THEN 3 ELSE L END AS L2,
+             -- rect dims AFTER the shrink branch (shrink forces a 3-cell
+             -- horizontal rect of thickness 16)
+             CASE WHEN shrink THEN 36 WHEN vert THEN thick ELSE L*12 END AS rw,
+             CASE WHEN shrink THEN 16 WHEN vert THEN L*12 ELSE thick END AS rh,
+             CASE WHEN shrink THEN FALSE ELSE vert END AS vert2
+      FROM (
+        SELECT *, (cw - (CASE WHEN vert THEN thick ELSE L*12 END) - 88) <= 0
+                 OR (ch - (CASE WHEN vert THEN L*12 ELSE thick END) - 88) <= 0 AS shrink
+        FROM rgeom
+      ) sh
     ), rdigits AS (
       SELECT doc, off, mref, k, unnest(range(L2)) AS i FROM rshrunk
     ), rtext AS (
@@ -997,13 +1006,20 @@ def flagship_text_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("docs_span_stats", None)
+@register(
+    "docs_span_stats",
+    _flagship_expected_body()
+    + """
+    SELECT CASE WHEN is_media THEN 'media' ELSE 'text' END AS kind,
+           count(*) AS n_spans
+    FROM kinds GROUP BY 1 ORDER BY kind
+    """,
+)
 def docs_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Input-side span-kind counts. rows-only BY NECESSITY: the interleaved
-    docs table is generated by the Python synth chain inside mapInPandas, so
-    DuckDB has no table to aggregate — the SQL-checkable projections of the
-    same generator are flagship_span_counts / flagship_text_digest, whose
-    oracles re-derive the chain in SQL."""
+    """Input-side span-kind counts, checked against DuckDB's re-derivation
+    of the generator's per-doc layout (the `kinds` CTE of the flagship
+    oracle chain) — the mapInPandas-generated docs table has no DuckDB
+    twin, but its layout arithmetic does."""
     from mit_spark.sources.docs_source import load_docs
 
     docs = load_docs(spark, sf_dir)
@@ -1479,13 +1495,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # strong oracle is the numpy golden equality in tests/test_multimodal.py)
 
 
-@register("media_channel_stats", None)
+def _media_stats_sql() -> str:
+    """Closed-form oracle for the decoded channel statistics: a rendered
+    page's pixel HISTOGRAM is a pure function of rect/mark GEOMETRY (the
+    jitter positions never matter), video frames are rolls of frame 0 (same
+    multiset), and all three channels are equal — so DuckDB can compute the
+    exact per-ref mean/std from the same md5 arithmetic the flagship
+    oracles use, without ever rendering a pixel. Validated closed-form ==
+    rendered-histogram for 884/884 refs."""
+    h = _h_sql
+    mean_expr = "(255.0*bg + 40.0*base + 90.0*mark_sum) / n1"
+    e2_expr = "(65025.0*bg + 1600.0*base + 8100.0*mark_sum) / n1"
+    return (
+        _flagship_expected_body()
+        + f"""
+    , vplus AS (
+      SELECT doc, off, mref, k,
+             sum({h("'42:'||mref||':'||k||':txt:'||i")} % 10 + 1) AS vp
+      FROM rdigits GROUP BY doc, off, mref, k
+    ), mstats AS (
+      SELECT r.doc, r.off, r.mref,
+             any_value(r.pw) AS pw, any_value(r.ph) AS ph,
+             sum(r.rw * r.rh) AS rect_sum,
+             sum((CASE WHEN r.vert2 THEN r.rw ELSE r.rh END) * d.vp) AS mark_sum
+      FROM rshrunk r JOIN vplus d USING (doc, off, mref, k)
+      WHERE r.doc < 'doc-00000120'
+      GROUP BY r.doc, r.off, r.mref
+    ), refvals AS (
+      SELECT doc, off, mref, pw*ph AS n1,
+             pw*ph - rect_sum AS bg, rect_sum - mark_sum AS base, mark_sum,
+             CASE WHEN (ascii(substr(mref,16,1)) + 256*ascii(substr(mref,17,1))) % 7 = 0
+                  THEN 4 ELSE 1 END AS n_frames
+      FROM mstats
+    ), refstats AS (
+      SELECT doc, off, mref, n_frames,
+             round({mean_expr}, 4) AS mean,
+             round(sqrt(greatest({e2_expr} - pow({mean_expr}, 2), 0.0)), 4) AS std
+      FROM refvals
+    )
+    SELECT c.ch AS channel, count(*)::BIGINT AS n_media,
+           round(avg(mean), 3) AS avg_mean, round(avg(std), 3) AS avg_std,
+           sum(n_frames)::BIGINT AS total_frames
+    FROM refstats CROSS JOIN (SELECT unnest([0,1,2]) AS ch) c
+    GROUP BY c.ch ORDER BY channel
+    """
+    )
+
+
+@register("media_channel_stats", _media_stats_sql())
 def media_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode media binaries (MITB container) and aggregate per-source-kind
     channel statistics over every frame — the multimodal feature-extraction
     plumbing end-to-end (frame_sample is exercised separately in
     tests/test_multimodal.py). The doc slice is a DETERMINISTIC doc_id range
-    (not ``limit``, whose row choice depends on parquet file order)."""
+    (not ``limit``, whose row choice depends on parquet file order). The
+    oracle re-derives every decoded pixel histogram in CLOSED FORM from the
+    generator geometry (see _media_stats_sql) — the multimodal decode path
+    is value-checked by SQL, not just row-counted."""
     from mit_spark.operators.multimodal import channel_stats, media_table
     from mit_spark.sources.docs_source import load_docs
 
