@@ -1935,10 +1935,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar convergence count per round — no data collect. Genuinely
     iterative (not single-pass SQL), which is why the oracle uses a
     recursive CTE."""
-    # cache the pair list BEFORE the symmetric union: both union branches
-    # reference it, and uncached each branch would re-run the entire
-    # minhash candidates->verify pipeline inside one job
+    # cache AND materialize the pair list BEFORE the symmetric union: the
+    # two union branches run in one job, so a lazy cache still computes the
+    # minhash candidates->verify pipeline twice (the branches race the
+    # block store); an explicit count() fills the cache once and both
+    # branches then read it
     pairs = minhash_verified_dups(spark, sf_dir).select("doc_a", "doc_b").cache()
+    pairs.count()
     edges = (
         pairs.unionByName(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
