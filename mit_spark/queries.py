@@ -1574,14 +1574,23 @@ def media_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the exactly-once batch-equality test in tests/test_streaming.py)
 
 
-@register("streaming_drain", None)
+@register(
+    "streaming_drain",
+    _flagship_expected_body()
+    + """
+    SELECT doc AS doc_id, count(*) AS n_spans
+    FROM alltexts WHERE doc < 'doc-00000040'
+    GROUP BY doc ORDER BY doc_id
+    """,
+)
 def streaming_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §2.8 as a registry entry: write a docs slice as two
     parquet 'arrival' files, drain them through the Structured Streaming
     wrapper (availableNow + foreachBatch + checkpoint), and return the
-    extracted span counts per doc. A second drain of the same checkpoint
-    appends nothing (exactly-once), which the span-count invariant checks
-    implicitly: duplicates would double n_spans.
+    extracted span counts per doc, ORACLE-GATED: expected per-doc output
+    span counts come from the same DuckDB generator re-derivation the
+    flagship oracles use, so a duplicate append (broken exactly-once), a
+    dropped doc, or a missed detection all flip the hash.
 
     IDEMPOTENT builder: the staging dir is derived deterministically from
     sf_dir (no mkdtemp), arrival-file setup runs once behind a _STAGED
@@ -1621,7 +1630,7 @@ def streaming_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         spark.read.parquet(out)
-        .select("doc_id", F.size("spans").alias("n_spans"))
+        .select("doc_id", F.size("spans").cast("bigint").alias("n_spans"))
         .orderBy("doc_id")
     )
 
