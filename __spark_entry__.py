@@ -3,10 +3,15 @@
 entry()       — flagship extraction pipeline on sf0.001 (smoke check).
 queries()     — every implemented operator family from SURVEY.md §2 as a
                 (spark, sf_dir) -> DataFrame callable.
-oracle_sql()  — DuckDB-equivalent SQL for each SQL-expressible query
-                (identical column names/values; media-detection entries are
-                deliberately omitted -> rows-only check; their strong oracle
-                is the numpy golden-equality suite in tests/).
+oracle_sql()  — DuckDB-equivalent SQL for each query (identical column
+                names/values). 45 of 46 entries carry oracles, including
+                the detect->OCR pipeline (span-count + text-digest
+                re-derivations of the md5-seeded generator), the multimodal
+                decode path (closed-form pixel histograms), and both
+                streaming entries. The one rows-only entry is the
+                flagship's flat span emit, value-covered by the
+                count/digest oracles; the numpy golden-equality suite in
+                tests/ is the second, independent gate.
 """
 
 from __future__ import annotations
