@@ -1973,25 +1973,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("s")
             .agg(F.min("label").alias("nb_label"))
         )
-        new_labels = (
+        # fuse the relabel and the convergence flag into ONE frame so each
+        # round costs a single join + one aggregate action (the flag rides
+        # along instead of re-joining old vs new labels)
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+        )
+        joined = (
             labels.join(nb, labels.doc == nb.s, "left")
             .select(
                 "doc",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label < F.col("label")).cast("int").alias("chg"),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = joined.agg(F.sum("chg")).collect()[0][0]
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        labels = joined.select("doc", "label")
+        if not changed:
             break
     edges.unpersist()
     pairs.unpersist()
