@@ -4,14 +4,15 @@ entry()       — flagship extraction pipeline on sf0.001 (smoke check).
 queries()     — every implemented operator family from SURVEY.md §2 as a
                 (spark, sf_dir) -> DataFrame callable.
 oracle_sql()  — DuckDB-equivalent SQL for each query (identical column
-                names/values). 45 of 46 entries carry oracles, including
-                the detect->OCR pipeline (span-count + text-digest
-                re-derivations of the md5-seeded generator), the multimodal
-                decode path (closed-form pixel histograms), and both
-                streaming entries. The one rows-only entry is the
-                flagship's flat span emit, value-covered by the
-                count/digest oracles; the numpy golden-equality suite in
-                tests/ is the second, independent gate.
+                names/values). ALL entries carry value oracles, including
+                the detect->OCR pipeline: the flagship's flat span emit has
+                a full row-level oracle (kind, text, media_ref, order per
+                span) built from a pure-SQL re-derivation of the md5-seeded
+                generator PLUS the detector's closed-form quad geometry and
+                reading-order ranks; companions check span counts, the
+                order-insensitive text multiset, and an order-sensitive
+                per-doc digest. The numpy golden-equality suite in tests/
+                is the second, independent gate.
 """
 
 from __future__ import annotations

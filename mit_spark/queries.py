@@ -818,31 +818,14 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# extraction pipeline entries (media path is not SQL-expressible -> the
-# driver records rows-only checks for these; the strong oracle is the numpy
-# golden equality in tests/test_pipeline_e2e.py)
+# extraction pipeline entries — ALL value-gated: the oracle CTE chain below
+# re-derives the synthetic generator (layout, geometry, texts) AND the
+# detector's closed-form quad geometry + reading-order ranks in pure DuckDB
+# SQL, so even the flagship's flat span emit has a full row-level oracle.
 
 from mit_spark.config import DetectorOptions, PipelineConfig  # noqa: E402
 
 FLAGSHIP_CFG = PipelineConfig(detector=DetectorOptions(detect_size=512, emit_mask=False))
-
-
-@register("flagship_extract", None)
-def flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship detect->OCR->order->emit, exposed to the driver gate in the
-    FLAT scalar projection (doc_id, kind, text, media_ref, order): the
-    array-of-struct ``extract`` output is the product API, but pandas cannot
-    factorize a list column, so the registry row returns the exploded form
-    with a deterministic sort. Span-sequence equality is per (doc_id, order)
-    row — the flat form is exactly that invariant, one row per span."""
-    from mit_spark.plans.pipeline import extract_flat
-    from mit_spark.sources.docs_source import load_docs
-
-    return (
-        extract_flat(spark, load_docs(spark, sf_dir), FLAGSHIP_CFG)
-        .filter(F.col("kind") != "error")
-        .orderBy("doc_id", "order")
-    )
 
 
 def _h_sql(s: str) -> str:
@@ -921,7 +904,7 @@ def _flagship_expected_body() -> str:
              {h("'42:'||mref||':'||k||':vert:0'")} % 3 = 0 AS vert
       FROM rects
     ), rshrunk AS (
-      SELECT doc, off, mref, pw, ph, k,
+      SELECT doc, off, mref, pw, ph, cw, ch, k, shrink,
              CASE WHEN shrink THEN 3 ELSE L END AS L2,
              -- rect dims AFTER the shrink branch (shrink forces a 3-cell
              -- horizontal rect of thickness 16)
@@ -944,6 +927,77 @@ def _flagship_expected_body() -> str:
       SELECT doc, text FROM cleans
       UNION ALL
       SELECT doc, text FROM rtext
+    ), rpos AS (
+      -- rect placement: 2x2 cell grid walk + jitter (synth.media_truth)
+      SELECT doc, off, mref, pw, ph, cw, ch, k, rw, rh, vert2,
+             list_extract([0,1,0,1], 1 + (corder + k) % 4) * cw + 44 + (
+               {h("'42:'||mref||':'||k||':jx:0'")} % (1 + CASE WHEN shrink
+                 THEN greatest(cw - 124, 1) ELSE cw - rw - 88 END)) AS x0,
+             list_extract([0,0,1,1], 1 + (corder + k) % 4) * ch + 44 + (
+               {h("'42:'||mref||':'||k||':jy:0'")} % (1 + CASE WHEN shrink
+                 THEN greatest(ch - 104, 1) ELSE ch - rh - 88 END)) AS y0
+      FROM (
+        SELECT *, {h("'42:'||mref||':cells:0'")} % 4 AS corder FROM rshrunk
+      ) rp
+    ), rbox AS (
+      -- closed-form detected-quad bbox (work coords): border -> bilinear
+      -- ink-band extent -> unclip delta -> trunc -> inverse-ratio trunc.
+      -- BASE(40)/BG edges admit blend weight > 144.5/215; MARK(90)/BG
+      -- edges (glyph cell 0 = rect's leading edge) need > 144.5/165.
+      SELECT doc, off, mref, k,
+             trunc(floor(jx0 - delta) * (1.0 / ratio)) AS fx0,
+             trunc(floor(jy0 - delta) * (1.0 / ratio)) AS fy0,
+             trunc(floor(jx1 + delta) * (1.0 / ratio)) AS fx1,
+             trunc(floor(jy1 + delta) * (1.0 / ratio)) AS fy1
+      FROM (
+        SELECT *, (jx1 - jx0) * (jy1 - jy0) * 2.3
+                  / (2.0 * ((jx1 - jx0) + (jy1 - jy0))) AS delta
+        FROM (
+          SELECT doc, off, mref, k, ratio,
+            floor((x0 - 1 + CASE WHEN vert2 THEN 144.5/215 ELSE 144.5/165 END
+                   + 0.5) / (bw / tw) - 0.5) + 1 AS jx0,
+            ceil((x0 + rw - 144.5/215 + 0.5) / (bw / tw) - 0.5) - 1 AS jx1,
+            floor((y0 - 1 + CASE WHEN vert2 THEN 144.5/165 ELSE 144.5/215 END
+                   + 0.5) / (bh / th) - 0.5) + 1 AS jy0,
+            ceil((y0 + rh - 144.5/215 + 0.5) / (bh / th) - 0.5) - 1 AS jy1
+          FROM (
+            SELECT *, floor(bw * ratio + 0.5) AS tw, floor(bh * ratio + 0.5) AS th
+            FROM (
+              SELECT *, 512.0 / greatest(bw, bh) AS ratio
+              FROM (
+                SELECT *, (CASE WHEN pw > 400 THEN pw ELSE 400 END)::DOUBLE AS bw,
+                          (CASE WHEN ph > 400 THEN ph ELSE 400 END)::DOUBLE AS bh
+                FROM rpos
+              ) b0
+            ) b1
+          ) b2
+        ) b3
+      ) b4
+    ), rrank AS (
+      -- RTL/TTB column-band reading order over the predicted quads
+      SELECT doc, off, k,
+             row_number() OVER (PARTITION BY doc, off
+                                ORDER BY band, y_top, x_center DESC) - 1 AS rank
+      FROM (
+        SELECT doc, off, k, x_center, y_top,
+               floor((max(x_center) OVER win - x_center)
+                     / greatest(median(width) OVER win, 1.0)) AS band
+        FROM (
+          SELECT doc, off, k, (fx0 + fx1) / 2.0 AS x_center,
+                 fy0 AS y_top, (fx1 - fx0)::DOUBLE AS width
+          FROM rbox
+        ) q WINDOW win AS (PARTITION BY doc, off)
+      ) banded
+    ), allspans AS (
+      -- every output span with its full-document order key
+      -- (order = offset * 1024 + rank; text spans rank 0)
+      SELECT doc, 'text' AS kind, '' AS media_ref, off * 1024 AS ord, text
+      FROM cleans
+      UNION ALL
+      SELECT r.doc, 'media' AS kind, r.mref AS media_ref,
+             r.off * 1024 + rk.rank AS ord, r.text
+      FROM rtext r JOIN rrank rk ON r.doc = rk.doc AND r.off = rk.off
+                                AND r.k = rk.k
     )
     """
 
@@ -991,9 +1045,10 @@ def flagship_text_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive per-document digest of every extracted text (cleaned
     text spans + OCR'd glyph strings) vs the same digest recomputed by DuckDB
     from ground truth. One wrong OCR character anywhere in the corpus flips a
-    digest — this is value-level span equality, not just counts. (Reading
-    order itself is covered by reading_order_sql + the e2e golden suite;
-    sorting by text makes the digest independent of rank assignment.)"""
+    digest — this is value-level span equality, not just counts. (Rank
+    assignment is covered order-sensitively by flagship_order_digest and
+    the row-level flagship_extract oracle; sorting by text here isolates
+    character-level OCR equality from ordering.)"""
     return (
         _flagship_flat(spark, sf_dir)
         .groupBy("doc_id")
@@ -1001,6 +1056,67 @@ def flagship_text_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(
                 F.concat_ws("|", F.sort_array(F.collect_list("text")))
             ).alias("text_digest")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "flagship_extract",
+    _flagship_expected_body()
+    + """
+    SELECT doc AS doc_id, kind, text, media_ref, ord AS "order"
+    FROM allspans ORDER BY doc_id, ord
+    """,
+)
+def flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship detect->OCR->order->emit in the FLAT scalar projection
+    (doc_id, kind, text, media_ref, order) — span-sequence equality per
+    (doc_id, order) row, now with a FULL row-level SQL oracle: the
+    ``allspans`` CTE re-derives every output span (kind, text, media_ref,
+    order) from the md5 generator arithmetic, including the detector's
+    closed-form quad geometry (bilinear ink-band extent -> unclip delta ->
+    truncation chain, `rbox`) and the RTL/TTB column-band reading-order
+    ranks (`rrank`). One wrong character, rank, or dropped span anywhere
+    flips the value hash."""
+    from mit_spark.plans.pipeline import extract_flat
+    from mit_spark.sources.docs_source import load_docs
+
+    return (
+        extract_flat(spark, load_docs(spark, sf_dir), FLAGSHIP_CFG)
+        .filter(F.col("kind") != "error")
+        .orderBy("doc_id", "order")
+    )
+
+
+@register(
+    "flagship_order_digest",
+    _flagship_expected_body()
+    + """
+    SELECT doc AS doc_id, md5(string_agg(text, '|' ORDER BY ord)) AS order_digest
+    FROM allspans GROUP BY doc ORDER BY doc_id
+    """,
+)
+def flagship_order_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-SENSITIVE per-document digest: every extracted text
+    concatenated in reading order (order = offset * SPAN_STRIDE + rank).
+    The oracle re-derives per-quad reading-order ranks from the generator's
+    rect geometry run through the closed-form detect chain — a single
+    swapped rank anywhere in the corpus flips a digest. Complements
+    flagship_text_digest (order-insensitive multiset equality)."""
+    return (
+        _flagship_flat(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("order", "text"))),
+                        lambda s: s["text"],
+                    ),
+                )
+            ).alias("order_digest")
         )
         .orderBy("doc_id")
     )
