@@ -52,17 +52,38 @@ def synthetic_forward(batch: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return db, mask
 
 
+def default_providers() -> list[str]:
+    """The reference's platform EP order (base-util/src/onnx.rs:25-36:
+    Linux/Windows = TensorRT then CUDA, Windows adds DirectML, macOS =
+    CoreML), with onnxruntime's CPU EP as the final fallback."""
+    import sys
+
+    if sys.platform == "darwin":
+        eps = ["CoreMLExecutionProvider"]
+    elif sys.platform.startswith("win"):
+        eps = ["TensorrtExecutionProvider", "CUDAExecutionProvider",
+               "DmlExecutionProvider"]
+    else:
+        eps = ["TensorrtExecutionProvider", "CUDAExecutionProvider"]
+    return eps + ["CPUExecutionProvider"]
+
+
 def make_onnx_forward(model_path: str, providers: list | None = None) -> ForwardFn:
     """ONNX adapter with the reference's session config (base-util/src/
-    onnx.rs:42-61: opt level 3, intra=4/inter=2 threads). Import-gated —
-    unavailable in this container."""
+    onnx.rs:42-61: opt level 3, parallel execution, intra=4/inter=2
+    threads, platform EP order). Import-gated — onnxruntime is absent in
+    this container, so the wiring is pinned by tests/test_onnx_forward.py's
+    injected fake module."""
     import onnxruntime as ort  # noqa: import-gated by design
 
     opts = ort.SessionOptions()
     opts.graph_optimization_level = ort.GraphOptimizationLevel.ORT_ENABLE_ALL
+    opts.execution_mode = ort.ExecutionMode.ORT_PARALLEL
     opts.intra_op_num_threads = 4
     opts.inter_op_num_threads = 2
-    sess = ort.InferenceSession(model_path, sess_options=opts, providers=providers)
+    sess = ort.InferenceSession(
+        model_path, sess_options=opts, providers=providers or default_providers()
+    )
 
     def forward(batch: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         x = (batch.astype(np.float32) / 127.5 - 1.0).transpose(0, 3, 1, 2)

@@ -32,6 +32,43 @@ def bucket_of(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime jar is on the session classpath
+    (SURVEY.md §7.8: the sandbox ships none, so the parquet fallback runs
+    everywhere and the writeTo path activates on clusters that have it)."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def _ensure_iceberg_table(spark: SparkSession, table: str, n_buckets: int) -> None:
+    """Create the extracted-spans Iceberg table with the doc_id hash-bucket
+    partition transform (the Iceberg-native twin of the bucket_id hive
+    layout the parquet fallback writes)."""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ("
+        "  doc_id STRING,"
+        "  spans ARRAY<STRUCT<kind: STRING, text: STRING,"
+        "                     media_ref: STRING, `order`: INT>>"
+        f") USING iceberg PARTITIONED BY (bucket({n_buckets}, doc_id))"
+    )
+
+
+def _write_wave(spark: SparkSession, out: DataFrame, out_dir: str,
+                iceberg_table: str | None) -> None:
+    """Append one wave of regrouped docs. Iceberg when a table name is
+    given (atomic snapshot commit per wave; bucket transform prunes reads),
+    else hive-partitioned parquet (bucket_id column)."""
+    if iceberg_table is not None:
+        out.drop("bucket_id").writeTo(iceberg_table).append()
+    else:
+        out.write.mode("append").partitionBy("bucket_id").parquet(
+            os.path.join(out_dir, "extracted")
+        )
+
+
 def _lineage_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
 
@@ -80,9 +117,20 @@ def run_extraction(
     resume: bool = True,
     wave_size: int | None = None,
     max_waves: int | None = None,
+    iceberg_table: str | None = None,
 ) -> dict:
     """Process all pending buckets; returns run metrics. ``max_waves`` exists
-    for kill/resume tests (stop after k waves like a preempted job)."""
+    for kill/resume tests (stop after k waves like a preempted job).
+    ``iceberg_table`` (e.g. "catalog.db.extracted") switches the span sink
+    to Iceberg writeTo appends when the runtime jar is present — lineage
+    and resume bookkeeping stay in out_dir either way."""
+    if iceberg_table is not None:
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "iceberg_table was requested but the Iceberg Spark runtime "
+                "jar is not on the classpath"
+            )
+        _ensure_iceberg_table(spark, iceberg_table, (config or PipelineConfig()).n_buckets)
     from pyspark import StorageLevel
 
     from mit_spark.config import PIPELINE_SPEC_VERSION
@@ -95,26 +143,44 @@ def run_extraction(
     # spec-version stamp: a resumed run must produce byte-identical spans to
     # the waves already on disk; refuse to mix cleaning-spec versions in one
     # output table (ADVICE: regex-fuse changed outputs for ill-formed markup)
+    import json
+    import shutil
+
     os.makedirs(out_dir, exist_ok=True)
     meta_path = os.path.join(out_dir, "_meta.json")
+    extracted_dir = os.path.join(out_dir, "extracted")
     if os.path.exists(meta_path):
-        import json
-
         with open(meta_path) as fh:
             prior = json.load(fh).get("pipeline_spec_version")
         if resume and prior != PIPELINE_SPEC_VERSION:
             raise RuntimeError(
                 f"output dir {out_dir} was written by pipeline spec {prior!r}; "
                 f"this build is {PIPELINE_SPEC_VERSION!r} — resuming would mix "
-                "cleaning-spec versions in one table (use a fresh out_dir or "
-                "resume=False to restart)"
+                "cleaning-spec versions in one table (use a fresh out_dir, or "
+                "resume=False to restart from scratch in place)"
             )
-        if not resume:  # restart: the dir now belongs to this spec
+        if not resume:
+            # restart: bucket parquet is written with mode('append'), so any
+            # prior extracted/ + lineage MUST be cleared before re-stamping —
+            # otherwise old-spec rows would sit beside new-spec rows under
+            # the new stamp (the exact mixing the guard exists to prevent)
+            shutil.rmtree(extracted_dir, ignore_errors=True)
+            shutil.rmtree(_lineage_dir(out_dir), ignore_errors=True)
             with open(meta_path, "w") as fh:
                 json.dump({"pipeline_spec_version": PIPELINE_SPEC_VERSION}, fh)
     else:
-        import json
-
+        if resume and os.path.isdir(_lineage_dir(out_dir)):
+            # a pre-stamp (unknown-spec) output dir with existing lineage:
+            # resuming would silently adopt it under the current spec — the
+            # historical corpora the guard most needs to protect
+            raise RuntimeError(
+                f"output dir {out_dir} has lineage but no _meta.json (written "
+                "by an unknown pipeline spec) — refuse to resume; rerun with "
+                "resume=False to restart in place, or use a fresh out_dir"
+            )
+        if not resume:
+            shutil.rmtree(extracted_dir, ignore_errors=True)
+            shutil.rmtree(_lineage_dir(out_dir), ignore_errors=True)
         with open(meta_path, "w") as fh:
             json.dump({"pipeline_spec_version": PIPELINE_SPEC_VERSION}, fh)
 
@@ -154,9 +220,7 @@ def run_extraction(
             }
             out = regroup(flat, config)
             out = out.withColumn("bucket_id", bucket_of(F.col("doc_id"), n_buckets))
-            out.write.mode("append").partitionBy("bucket_id").parquet(
-                os.path.join(out_dir, "extracted")
-            )
+            _write_wave(spark, out, out_dir, iceberg_table)
             stats = (
                 out.groupBy("bucket_id")
                 .agg(

@@ -69,6 +69,28 @@ def _media_udf(detector_conf: dict, pre_conf: dict, fault_inject_refs: tuple = (
     return run
 
 
+def media_task_count(par: int) -> int:
+    """Media-stage task count for ``par`` execution slots.
+
+    Task granularity: small tasks bound the straggler tail of the stage
+    (idle time in the LAST wave, whose relative cost grows with
+    parallelism), but each task also carries a fixed scheduling + python
+    worker round-trip cost. Target ~128 tasks, clamped to [4x, 16x] the
+    slot count: measured at local[32], 128 tasks run the media stage 38%
+    faster than a fixed 16x (512 tasks), while low-parallelism levels keep
+    the same fine granularity (par=2 -> 32 tasks, par=8 -> 128) so the
+    N->4N scaling ladder is unaffected. On a 1000-executor cluster the 4x
+    floor keeps tasks plentiful (4000).
+
+    ``par`` comes from defaultParallelism at PLAN time, which is correct on
+    a static cluster (the north rule's N / 4N shape). Under dynamic
+    allocation it reflects the executors held when the plan is built —
+    merely suboptimal (the 4x floor still yields several waves as the
+    cluster grows), never a correctness issue; pin
+    spark.default.parallelism to the target size if scheduling there."""
+    return par * max(4, min(16, 128 // max(par, 1)))
+
+
 def extract_flat(spark: SparkSession, docs_df: DataFrame, config: PipelineConfig | None = None) -> DataFrame:
     """Exploded output spans (doc_id, kind, text, media_ref, order) before
     the per-document regroup — useful for metrics and for the regroup-free
@@ -91,18 +113,10 @@ def extract_flat(spark: SparkSession, docs_df: DataFrame, config: PipelineConfig
     # spread spans of media-heavy documents across the cluster (explode gave
     # span rows; hash-repartition breaks doc-locality so one heavy doc
     # occupies many tasks, not one)
-    # task granularity: small tasks bound the straggler tail of the stage
-    # (idle time in the LAST wave, whose relative cost grows with
-    # parallelism), but each task also carries a fixed scheduling + python
-    # worker round-trip cost. Target ~128 tasks, clamped to [4x, 16x] the
-    # slot count: measured at local[32], 128 tasks run the media stage 38%
-    # faster than the old fixed 16x (512 tasks), while low-parallelism
-    # levels keep the same fine granularity (local[2] -> 32 tasks,
-    # local[8] -> 128) so the N->4N ladder is unaffected. On a real
-    # 1000-executor cluster the 4x floor keeps tasks plentiful.
-    par = spark.sparkContext.defaultParallelism
-    mult = max(4, min(16, 128 // max(par, 1)))
-    media_in = media_in.repartition(par * mult, F.xxhash64("doc_id", "offset"))
+    media_in = media_in.repartition(
+        media_task_count(spark.sparkContext.defaultParallelism),
+        F.xxhash64("doc_id", "offset"),
+    )
 
     media_out = media_in.mapInPandas(
         _media_udf(

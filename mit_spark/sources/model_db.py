@@ -105,7 +105,16 @@ def _download_and_extract(url: str, file_path: str) -> None:
                 tar.extractall(staging, filter="data")
             os.unlink(fetched)
             for entry in os.listdir(staging):
-                os.replace(os.path.join(staging, entry), os.path.join(dest_dir, entry))
+                src = os.path.join(staging, entry)
+                dst = os.path.join(dest_dir, entry)
+                # os.replace raises ENOTEMPTY when dst is an existing
+                # non-empty directory (the corrupt-artifact retry path only
+                # deletes file_path, so sibling extracted dirs survive);
+                # we hold the dir flock, so clearing dst then renaming is
+                # safe and leaves no stale members behind
+                if os.path.isdir(dst) and not os.path.islink(dst):
+                    shutil.rmtree(dst)
+                os.replace(src, dst)
         else:
             os.replace(fetched, file_path)
     finally:

@@ -101,3 +101,86 @@ def test_resume_refuses_mismatched_spec_version(spark, tmp_path):
     json.dump({"pipeline_spec_version": "0-old"}, open(f"{out}/_meta.json", "w"))
     with pytest.raises(RuntimeError, match="spec"):
         run_extraction(spark, docs, out, cfg, resume=True)
+
+
+def test_restart_clears_old_spec_output(spark, tmp_path):
+    """resume=False on a dir stamped by an OLDER spec must clear extracted/
+    and _lineage/ before re-stamping: bucket parquet is written with
+    mode('append'), so stale rows would otherwise survive under the new
+    stamp (ADVICE r2, medium)."""
+    import json
+
+    cfg = PipelineConfig(detector=DetectorOptions(detect_size=256), n_buckets=4)
+    docs = spark.createDataFrame(gen_docs(6), schema=DOCS)
+    out = str(tmp_path / "out")
+    run_extraction(spark, docs, out, cfg)
+    n_first = read_extracted(spark, out).count()
+    assert n_first == 6
+
+    # simulate an old-spec table, then restart in place
+    json.dump({"pipeline_spec_version": "0-old"}, open(f"{out}/_meta.json", "w"))
+    m = run_extraction(spark, docs, out, cfg, resume=False)
+    assert m["buckets_processed"] == 4  # full reprocess, no resume skip
+    assert read_extracted(spark, out).count() == 6  # no doubled rows
+    meta = json.load(open(f"{out}/_meta.json"))
+    from mit_spark.config import PIPELINE_SPEC_VERSION
+
+    assert meta["pipeline_spec_version"] == PIPELINE_SPEC_VERSION
+
+
+def test_resume_refuses_unstamped_legacy_dir(spark, tmp_path):
+    """A pre-stamp output dir (lineage present, no _meta.json) must not be
+    silently adopted under the current spec on resume (ADVICE r2, low)."""
+    cfg = PipelineConfig(detector=DetectorOptions(detect_size=256), n_buckets=4)
+    docs = spark.createDataFrame(gen_docs(6), schema=DOCS)
+    out = str(tmp_path / "out")
+    run_extraction(spark, docs, out, cfg, max_waves=1)
+    os.remove(f"{out}/_meta.json")  # simulate a pre-stamp build's output
+    with pytest.raises(RuntimeError, match="no _meta.json"):
+        run_extraction(spark, docs, out, cfg, resume=True)
+    # restart in place is the documented escape hatch
+    m = run_extraction(spark, docs, out, cfg, resume=False)
+    assert m["buckets_processed"] == 4
+    assert read_extracted(spark, out).count() == 6
+
+
+def test_iceberg_seam_guard_and_fallback(spark, tmp_path):
+    """SURVEY.md §7.8 write seam: without the Iceberg runtime jar the
+    iceberg_table request must fail fast (never silently fall back), and
+    the default parquet path must be untouched by the seam's presence."""
+    from mit_spark.plans.checkpoint import iceberg_available
+
+    cfg = PipelineConfig(detector=DetectorOptions(detect_size=256), n_buckets=4)
+    docs = spark.createDataFrame(gen_docs(4), schema=DOCS)
+    out = str(tmp_path / "out")
+    if iceberg_available(spark):
+        pytest.skip("Iceberg jar present; covered by the real writeTo test")
+    with pytest.raises(RuntimeError, match="[Ii]ceberg"):
+        run_extraction(spark, docs, out, cfg, iceberg_table="cat.db.extracted")
+    m = run_extraction(spark, docs, out, cfg)  # parquet fallback unchanged
+    assert m["buckets_processed"] == 4
+    assert read_extracted(spark, out).count() == 4
+
+
+@pytest.mark.skipif(
+    "not __import__('mit_spark.plans.checkpoint', fromlist=['iceberg_available'])"
+    ".iceberg_available(__import__('pyspark.sql', fromlist=['SparkSession'])"
+    ".SparkSession.getActiveSession() or "
+    "__import__('pyspark.sql', fromlist=['SparkSession']).SparkSession.builder"
+    ".getOrCreate())",
+    reason="Iceberg Spark runtime jar not on the classpath",
+)
+def test_iceberg_write_path(spark, tmp_path):
+    """With the runtime jar present: waves append as Iceberg snapshots into
+    a bucket(doc_id)-partitioned table and resume skips done buckets."""
+    spark.conf.set("spark.sql.catalog.mitcat", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.mitcat.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.mitcat.warehouse", str(tmp_path / "wh"))
+    cfg = PipelineConfig(detector=DetectorOptions(detect_size=256), n_buckets=4)
+    docs = spark.createDataFrame(gen_docs(6), schema=DOCS)
+    out = str(tmp_path / "out")
+    tbl = "mitcat.db.extracted"
+    m1 = run_extraction(spark, docs, out, cfg, iceberg_table=tbl, max_waves=1)
+    m2 = run_extraction(spark, docs, out, cfg, iceberg_table=tbl)
+    assert m1["buckets_processed"] + m2["buckets_processed"] == 4
+    assert spark.table(tbl).count() == 6

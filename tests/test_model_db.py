@@ -3,6 +3,7 @@
 file:// URLs — no network, same code path as a pre-staged deployment."""
 
 import hashlib
+import os
 import tarfile
 
 import pytest
@@ -113,3 +114,36 @@ def test_concurrent_processes_install_atomically(model_root):
         out, err = pr.communicate(timeout=120)
         assert pr.returncode == 0, err.decode()
         assert out.strip() == b"OK"
+
+
+def test_tar_gz_with_directories_retry_overwrites(model_root, tmp_path):
+    """Archives whose top level contains DIRECTORIES must survive the
+    corrupt-artifact retry: the retry deletes only file_path, so the
+    sibling extracted dir still exists at promote time and a bare
+    os.replace would raise ENOTEMPTY (ADVICE r2)."""
+    pkg = tmp_path / "pkg"
+    (pkg / "weights").mkdir(parents=True)
+    (pkg / "weights" / "a.bin").write_bytes(b"vocab-v1")
+    (pkg / "model.onnx").write_bytes(b"dir-tar-model")
+    tar_path = tmp_path / "dirs.tar.gz"
+    with tarfile.open(tar_path, "w:gz") as tar:
+        tar.add(pkg / "weights", arcname="weights")
+        tar.add(pkg / "model.onnx", arcname="model.onnx")
+    url = f"file://{tar_path}"
+    sha = hashlib.sha256(b"dir-tar-model").hexdigest()
+
+    p = model_db.get("detector", "dbnet", "model.onnx", url, sha)
+    assert open(p, "rb").read() == b"dir-tar-model"
+    cache_dir = os.path.dirname(p)
+    assert open(os.path.join(cache_dir, "weights", "a.bin"), "rb").read() == b"vocab-v1"
+
+    # corrupt the verified file AND leave a stale non-empty weights/ dir
+    # (plus a stray member the fresh archive does not contain)
+    with open(p, "wb") as f:
+        f.write(b"corrupted")
+    with open(os.path.join(cache_dir, "weights", "stale.bin"), "wb") as f:
+        f.write(b"old")
+    p2 = model_db.get("detector", "dbnet", "model.onnx", url, sha)
+    assert open(p2, "rb").read() == b"dir-tar-model"
+    # the re-promoted dir is the archive's content, with no stale members
+    assert sorted(os.listdir(os.path.join(cache_dir, "weights"))) == ["a.bin"]

@@ -66,3 +66,16 @@ def test_query_matches_oracle(spark, ddb, name):
     assert a == b, f"{name}: value mismatch at {mism}: " + "; ".join(
         f"spark={a[i]} duck={b[i]}" for i in mism
     )
+
+
+def test_dedup_clusters_idempotent_and_cache_clean(spark):
+    """Repeated invocations must return identical labels (staged pair list)
+    and leave NO DataFrame cache entries behind (the fixpoint loop caches
+    one frame per round; each must be released — ADVICE r2)."""
+    from mit_spark.queries import dedup_clusters
+
+    r1 = dedup_clusters(spark, SF_DIR).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    r2 = dedup_clusters(spark, SF_DIR).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    assert r1 == r2
