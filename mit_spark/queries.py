@@ -1504,7 +1504,16 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "e", F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm"), bucket.alias("bucket")
     )
 
-    a, c = b.alias("a"), b.alias("b")
+    # parallelism: the table arrives as ONE parquet split, so without a
+    # repartition the entire candidate-pair fold runs in a single task
+    # (measured 5-8 s at sf0.1; 2.3 s spread over 32). The build side is
+    # broadcast, so the probe side need not be co-partitioned on the join
+    # key — spread it by vec_id for even, skew-free task sizes. At 100 TB
+    # the build side no longer broadcasts: co-partition BOTH sides on
+    # `bucket` and let the sort-merge join run bucket-local (candidate
+    # volume per bucket, never n^2, is the scaling quantity either way).
+    a = b.repartition(spark.sparkContext.defaultParallelism, "vec_id").alias("a")
+    c = F.broadcast(b).alias("b")
     cos = dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
