@@ -2362,3 +2362,335 @@ def token_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "events_asof_join",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT user_id, ts, event_id, tag,
+             max(CASE WHEN tag = 0 THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+      FROM tagged
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts,
+           date_diff('second', click_ts, ts) AS gap_sec
+    FROM w WHERE tag = 1 ORDER BY event_id
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN — for every purchase, the user's most recent click at or
+    before it. Spark has no asof-join operator; the scalable formulation is
+    union-the-two-streams + a running-max window: tag click=0/purchase=1,
+    sort within user by (ts, tag, event_id), and take max(click ts seen so
+    far) — because the frame is ordered by ts, the running max IS the
+    last-at-or-before click, with no IGNORE NULLS dependence and no
+    range-join explosion. ONE shuffle on user_id, running aggregate (no
+    full-partition buffering); skewed power-users cost O(their events).
+    The same-ts tie sorts the click first (tag 0 < 1), so a click in the
+    same instant as the purchase matches it. gap_sec is the whole-second
+    difference (both engines floor to the second boundary)."""
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)).alias("tag"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = tagged.withColumn(
+        "click_ts", F.max(F.when(F.col("tag") == 0, F.col("ts"))).over(win)
+    )
+    return (
+        w.filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+            (F.unix_timestamp("ts") - F.unix_timestamp("click_ts"))
+            .cast("long")
+            .alias("gap_sec"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "quality_repetition_filter",
+    """
+    WITH words AS (
+      SELECT doc_id, w AS word
+      FROM (SELECT doc_id, unnest(split(trim(text), ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), wc AS (
+      SELECT doc_id, word, count(*) AS c FROM words GROUP BY doc_id, word
+    ), per AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT)   AS n_words,
+             CAST(count(*) AS BIGINT) AS n_unique,
+             CAST(max(c) AS BIGINT)   AS top_cnt
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_unique,
+           round(1 - n_unique / CAST(n_words AS DOUBLE), 6) AS dup_word_ratio,
+           round(top_cnt / CAST(n_words AS DOUBLE), 6)      AS top_word_frac,
+           CAST(1 - n_unique / CAST(n_words AS DOUBLE) <= 0.6
+                AND top_cnt / CAST(n_words AS DOUBLE) <= 0.12 AS INT) AS keep
+    FROM per ORDER BY doc_id
+    """,
+)
+def quality_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-word
+    ratio (1 - unique/total) and most-frequent-word fraction, plus the keep
+    decision at (<=0.6, <=0.12) — thresholds that split this corpus ~70/30.
+    Two map-side-combinable aggregations (doc×word counts, then per-doc
+    rollup), all codegen: the explode never leaves the JVM and the first
+    groupBy partially aggregates before its shuffle, so cost is O(tokens)
+    with one shuffle keyed on (doc_id, word) — shingle-free, no windows.
+    The keep flag compares the UNROUNDED doubles: a/b is IEEE-identical
+    across engines, so the boolean is engine-deterministic."""
+    d = read_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    per = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.max("c").cast("long").alias("top_cnt"),
+    )
+    dup = F.lit(1) - F.col("n_unique") / F.col("n_words").cast("double")
+    top = F.col("top_cnt") / F.col("n_words").cast("double")
+    return per.select(
+        "doc_id",
+        "n_words",
+        "n_unique",
+        F.round(dup, 6).alias("dup_word_ratio"),
+        F.round(top, 6).alias("top_word_frac"),
+        ((dup <= 0.6) & (top <= 0.12)).cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "domain_mixture_weights",
+    """
+    WITH g AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(split(trim(text), ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share,
+           round(sqrt(CAST(n_tokens AS DOUBLE))
+                 / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6)    AS mixture_weight
+    FROM g ORDER BY source, lang
+    """,
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: per (source, lang) domain, token share
+    and a temperature-sampled mixture weight w ∝ share^0.5 (alpha=0.5, the
+    standard multilingual-sampling exponent; sqrt(n_tokens) is used directly
+    since the corpus total cancels in the normalization). The heavy pass is
+    ONE map-side-combinable groupBy over the corpus; the global windows then
+    run over |sources|×|langs| rows (~100), a driver-sized frame, so the
+    unpartitioned window is a deliberate non-issue at any corpus scale.
+    Integer token sums are exact; only the final normalized doubles are
+    rounded (6dp) for cross-engine hashing."""
+    d = read_table(spark, sf_dir, "documents")
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), " "))).cast("long").alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(everything).cast("double")
+    w_raw = F.sqrt(F.col("n_tokens").cast("double"))
+    weight = w_raw / F.sum(w_raw).over(everything)
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(weight, 6).alias("mixture_weight"),
+    ).orderBy("source", "lang")
+
+
+def _incremental_dedup_sql() -> str:
+    mh = ",\n             ".join(f"min(d[{5*j+1}:{5*j+5}]) AS mh{j}" for j in range(6))
+    return f"""
+    WITH base AS (
+      SELECT doc_id, split(trim(text), ' ') AS words FROM documents
+    ), batch AS (
+      SELECT doc_id + 100000 AS doc_id, words FROM base WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 200000, words[1:len(words) - 1] FROM base WHERE doc_id % 10 = 7
+      UNION ALL
+      SELECT doc_id + 300000, list_reverse(words) FROM base WHERE doc_id % 10 = 5
+    ), exact AS (
+      SELECT b.doc_id FROM batch b
+      WHERE md5(array_to_string(b.words, ' ')) IN
+            (SELECT md5(array_to_string(words, ' ')) FROM base)
+    ), all_docs AS (
+      SELECT doc_id, words, 1 AS is_batch FROM batch
+      UNION ALL
+      SELECT doc_id, words, 0 AS is_batch FROM base
+    ), tok AS (
+      SELECT doc_id, is_batch, generate_subscripts(words, 1) AS pos, unnest(words) AS w
+      FROM all_docs
+    ), sh AS (
+      SELECT doc_id, is_batch,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle,
+             lead(w, 2) OVER win AS w2
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), dg AS (
+      SELECT doc_id, is_batch, md5(shingle) AS d FROM sh WHERE w2 IS NOT NULL
+    ), sigs AS (
+      SELECT doc_id, is_batch,
+             {mh}
+      FROM dg GROUP BY doc_id, is_batch
+    ), bands AS (
+      SELECT doc_id, is_batch, unnest([mh0 || mh1, mh2 || mh3, mh4 || mh5]) AS band
+      FROM sigs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+      FROM bands a JOIN bands b ON a.band = b.band
+      WHERE a.is_batch = 1 AND b.is_batch = 0
+    ), sets AS (
+      SELECT doc_id, list_distinct(list(d)) AS ds FROM dg GROUP BY doc_id
+    ), near AS (
+      SELECT DISTINCT cand.bid AS doc_id
+      FROM cand JOIN sets x ON cand.bid = x.doc_id
+                JOIN sets y ON cand.cid = y.doc_id
+      WHERE len(list_filter(x.ds, s -> list_contains(y.ds, s)))
+            / (len(x.ds) + len(y.ds)
+               - len(list_filter(x.ds, s -> list_contains(y.ds, s)))) >= 0.5
+    )
+    SELECT b.doc_id AS doc_id,
+           CASE WHEN b.doc_id IN (SELECT doc_id FROM exact) THEN 'exact_dup'
+                WHEN b.doc_id IN (SELECT doc_id FROM near)  THEN 'near_dup'
+                ELSE 'kept' END AS status
+    FROM batch b ORDER BY doc_id
+    """
+
+
+@register("incremental_dedup", _incremental_dedup_sql())
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup — the shape every recurring crawl
+    needs: an INCOMING batch is screened against the EXISTING corpus without
+    ever re-pairing the corpus with itself. The synthetic batch models a
+    re-crawl: exact re-posts (doc_id%10==3, verbatim), near re-crawls
+    (%10==7, last word dropped), and fresh docs (%10==5, word order
+    reversed — same vocabulary, disjoint shingles).
+
+    Stage 1 (exact): md5(content) LEFT SEMI join batch->corpus. At 10^12
+    docs this is a shuffle join on a 16-byte digest — broadcast is neither
+    possible nor needed; a corpus bucketed on content_hash makes it
+    shuffle-free on the big side (SURVEY §7.8 seam).
+    Stage 2 (near): survivors only are shingled; LSH band join restricted to
+    batch↔corpus (probe side is the small batch, never corpus×corpus), then
+    exact shingle-set Jaccard >= 0.5 verify on candidates — identical
+    recall/precision split as minhash_verified_dups (queries.py).
+    Priority exact > near > kept, so skipping stage-2 for exact dups is a
+    pure optimization with no output change."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("words")
+    )
+    batch = (
+        d.filter(F.col("doc_id") % 10 == 3)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "words")
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.slice("words", 1, F.size("words") - 1).alias("words"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.reverse("words").alias("words"),
+            )
+        )
+    )
+    content = F.md5(F.concat_ws(" ", "words"))
+    corpus_hashes = d.select(content.alias("h")).distinct()
+    exact = (
+        batch.withColumn("h", content)
+        .join(corpus_hashes, "h", "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(1))
+    )
+    # stage 2 inputs: batch docs not already exact-dup + the whole corpus
+    probe = batch.join(exact.select("doc_id"), "doc_id", "left_anti")
+    all_docs = probe.withColumn("is_batch", F.lit(1)).unionByName(
+        d.withColumn("is_batch", F.lit(0))
+    )
+    tok = all_docs.select("doc_id", "is_batch", F.posexplode("words").alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    sh = tok.select(
+        "doc_id",
+        "is_batch",
+        F.concat_ws(" ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)).alias(
+            "shingle"
+        ),
+        F.lead("w", 2).over(win).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    dg = sh.select("doc_id", "is_batch", F.md5("shingle").alias("d"))
+    sigs = dg.groupBy("doc_id", "is_batch").agg(
+        *[F.min(F.substring("d", 5 * j + 1, 5)).alias(f"mh{j}") for j in range(6)]
+    )
+    bands = sigs.select(
+        "doc_id",
+        "is_batch",
+        F.explode(
+            F.array(
+                F.concat("mh0", "mh1"), F.concat("mh2", "mh3"), F.concat("mh4", "mh5")
+            )
+        ).alias("band"),
+    )
+    a = bands.filter(F.col("is_batch") == 1).select(
+        F.col("doc_id").alias("bid"), "band"
+    )
+    b = bands.filter(F.col("is_batch") == 0).select(
+        F.col("doc_id").alias("cid"), "band"
+    )
+    cand = a.join(b, "band").select("bid", "cid").distinct()
+    sets = dg.groupBy("doc_id").agg(F.collect_set("d").alias("ds"))
+    x, y = sets.alias("x"), sets.alias("y")
+    inter = F.size(F.array_intersect(F.col("x.ds"), F.col("y.ds")))
+    union = F.size(F.col("x.ds")) + F.size(F.col("y.ds")) - inter
+    near = (
+        cand.join(x, cand.bid == F.col("x.doc_id"))
+        .join(y, cand.cid == F.col("y.doc_id"))
+        .filter(inter / union >= 0.5)
+        .select(F.col("bid").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact") == 1, F.lit("exact_dup"))
+            .when(F.col("is_near") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
