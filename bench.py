@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     "token_count_bpe",
     "decontaminate_ngrams",
     "pii_redaction",
+    "events_asof_join",
+    "quality_repetition_filter",
+    "incremental_dedup",
+    "cross_doc_chunk_dedup",
+    "corpus_topk_ngrams",
     "dedup_clusters",
     "stratified_sample",
     "sequence_pack",

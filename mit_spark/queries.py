@@ -2694,3 +2694,112 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "cross_doc_chunk_dedup",
+    """
+    WITH words AS (
+      SELECT doc_id, generate_subscripts(split(trim(text), ' '), 1) AS pos,
+             unnest(split(trim(text), ' ')) AS w
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, (pos - 1) // 8 AS chunk_no,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+      FROM words GROUP BY doc_id, (pos - 1) // 8
+    ), df AS (
+      SELECT chunk_hash, count(DISTINCT doc_id) AS doc_freq FROM chunks GROUP BY chunk_hash
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT)                     AS n_chunks,
+           CAST(sum(CASE WHEN df.doc_freq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                        AS n_boiler_chunks,
+           round(sum(CASE WHEN df.doc_freq > 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6)         AS boiler_frac
+    FROM chunks c JOIN df USING (chunk_hash)
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+)
+def cross_doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document chunk dedup: split every document into
+    8-word chunks, hash each, count each hash's document frequency across
+    the WHOLE corpus, and report per doc how much of it is boilerplate
+    (chunks shared with at least one other document). This is the standard
+    web-extraction dedup unit (CCNet dedups paragraphs by hash across
+    shards). Chunking happens ARRAY-SIDE in one codegen projection (slice
+    the words array per chunk index — no posexplode+window+regroup, so the
+    only shuffles are the two keyed on the 16-byte chunk hash: the
+    doc-frequency aggregate and the chunks-vs-frequency join, which reuse
+    the same hash partitioning); no all-pairs stage anywhere. The chunk
+    hash is md5 of the space-joined words — bit-identical across engines."""
+    d = read_table(spark, sf_dir, "documents")
+    chunk_arr = F.expr(
+        "transform(sequence(0, (size(ws) - 1) div 8),"
+        "          c -> md5(concat_ws(' ', slice(ws, c * 8 + 1, 8))))"
+    )
+    chunks = d.select(
+        "doc_id", F.split(F.trim("text"), " ").alias("ws")
+    ).select("doc_id", F.explode(chunk_arr).alias("chunk_hash"))
+    df = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    joined = chunks.join(df, "chunk_hash")
+    boiler = F.sum(F.when(F.col("doc_freq") > 1, 1).otherwise(0))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            boiler.cast("long").alias("n_boiler_chunks"),
+            F.round(boiler / F.count(F.lit(1)).cast("double"), 6).alias("boiler_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_topk_ngrams",
+    """
+    WITH words AS (
+      SELECT doc_id, generate_subscripts(split(trim(text), ' '), 1) AS pos,
+             unnest(split(trim(text), ' ')) AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             w || ' ' || lead(w, 1) OVER win AS gram,
+             lead(w, 1) OVER win AS w1
+      FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT gram,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM grams WHERE w1 IS NOT NULL
+    GROUP BY gram
+    ORDER BY n_occurrences DESC, gram
+    LIMIT 50
+    """,
+)
+def corpus_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-k bigram census — the table a decontamination or
+    stop-list stage consumes. Bigrams are formed ARRAY-SIDE (adjacent
+    pairs of the split array in one codegen projection — no per-doc window
+    sort); then ONE combinable count shuffle keyed on the gram, and the
+    global top-50 is a TakeOrdered on the already-aggregated gram table
+    (count(*) partials merge map-side; count(DISTINCT doc_id) expands then
+    re-aggregates — both shuffles on the gram key, never on raw tokens).
+    Deterministic tiebreak: (n_occurrences DESC, gram)."""
+    d = read_table(spark, sf_dir, "documents")
+    gram_arr = F.expr(
+        "transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))"
+    )
+    grams = d.select("doc_id", F.split(F.trim("text"), " ").alias("ws")).select(
+        "doc_id", F.explode(gram_arr).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "gram")
+        .limit(50)
+    )
