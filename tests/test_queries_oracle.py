@@ -79,3 +79,20 @@ def test_dedup_clusters_idempotent_and_cache_clean(spark):
     r2 = dedup_clusters(spark, SF_DIR).collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
     assert r1 == r2
+
+
+def test_incremental_dedup_staging_idempotent(spark, tmp_path, monkeypatch):
+    """The staged batch table must be built exactly once per sf_dir and
+    repeated invocations must return identical statuses even when the
+    staging root starts empty (fresh host) or already populated."""
+    import mit_spark.queries as q
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    r1 = q.incremental_dedup(spark, SF_DIR).collect()
+    r2 = q.incremental_dedup(spark, SF_DIR).collect()
+    assert r1 == r2
+    statuses = {row["status"] for row in r1}
+    assert statuses == {"exact_dup", "near_dup", "kept"}
