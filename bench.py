@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "embedding_lsh_buckets",
     "embedding_near_dup",
     "ann_ivf_topk",
+    "embedding_kmeans",
     "boilerplate_strip",
     "language_id_ngram",
     "rolling_fingerprint",
