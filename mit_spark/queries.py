@@ -2827,11 +2827,13 @@ _KMEANS_K = 8
 _KMEANS_ROUNDS = 3  # assignment rounds; centroids update between them
 
 
-def _kmeans_sql() -> str:
+def _kmeans_ctes() -> tuple[str, str]:
     """Unrolled Lloyd iterations in pure SQL: c0 = the first K vectors,
     a_r = nearest-centroid assignment under c_r (tie -> smaller cid),
     c_{r+1} = per-cluster element-wise mean. Mirrors the Spark operator
-    exactly; final round also emits the squared distance (6dp)."""
+    exactly; final round also emits the squared distance (6dp). Returns
+    (WITH clause, name of the final-assignment CTE) so downstream oracles
+    (semantic_mixture_weights) can compose on the cluster labels."""
 
     def dist(c: str) -> str:
         return (
@@ -2871,10 +2873,12 @@ def _kmeans_sql() -> str:
         parts.append(assign(last, f"c{r}", final))
         if not final:
             parts.append(update(f"c{r + 1}", last))
-    return (
-        "\n    WITH " + ",\n    ".join(parts)
-        + f"\n    SELECT vec_id, cluster, sq_dist FROM {last} ORDER BY vec_id"
-    )
+    return "\n    WITH " + ",\n    ".join(parts), last
+
+
+def _kmeans_sql() -> str:
+    with_clause, last = _kmeans_ctes()
+    return with_clause + f"\n    SELECT vec_id, cluster, sq_dist FROM {last} ORDER BY vec_id"
 
 
 @register("embedding_kmeans", _kmeans_sql())
@@ -2942,3 +2946,65 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         best["cid"].alias("cluster"),
         F.round(best["d"], 6).alias("sq_dist"),
     ).orderBy("vec_id")
+
+
+def _semantic_mixture_sql() -> str:
+    with_clause, last = _kmeans_ctes()
+    return (
+        with_clause
+        + f""",
+    t AS (
+      SELECT a.cluster, len(split(trim(d.text), ' ')) AS n
+      FROM {last} a JOIN documents d ON d.doc_id = a.vec_id
+    ), g AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM t GROUP BY cluster
+    )
+    SELECT cluster, n_docs, n_tokens,
+           round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share,
+           round(sqrt(CAST(n_tokens AS DOUBLE))
+                 / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6)    AS mixture_weight
+    FROM g ORDER BY cluster"""
+    )
+
+
+@register("semantic_mixture_weights", _semantic_mixture_sql())
+def semantic_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced training mixture: domain_mixture_weights' alpha=0.5
+    temperature formula applied to SEMANTIC clusters (embedding_kmeans
+    labels) instead of (source, lang) metadata — the cluster-based data
+    mixing used when domain tags are missing or too coarse (vec_id ==
+    doc_id in this corpus, as in semantic_dedup_verified).
+
+    Scale shape: the kmeans assignment side is a shuffle-free codegen
+    projection over embeddings (centroid literals); the token-count side is
+    a pruned 2-column scan of documents; they meet in ONE equi-join shuffle
+    on the id (at 10^12 rows both sides would be bucketed on doc_id,
+    making the join co-located), then a map-side-combinable groupBy down
+    to K rows; the global windows run over K=8 rows — driver-sized by
+    construction. Integer counts are exact; only the final normalized
+    doubles are rounded (6dp) for cross-engine hashing."""
+    clusters = embedding_kmeans(spark, sf_dir).select("vec_id", "cluster")
+    d = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.size(F.split(F.trim("text"), " ")).alias("n")
+    )
+    g = (
+        clusters.join(d, clusters.vec_id == d.doc_id)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+    )
+    everything = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(everything).cast("double")
+    w_raw = F.sqrt(F.col("n_tokens").cast("double"))
+    weight = w_raw / F.sum(w_raw).over(everything)
+    return g.select(
+        "cluster",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(weight, 6).alias("mixture_weight"),
+    ).orderBy("cluster")
