@@ -3008,3 +3008,50 @@ def semantic_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("token_share"),
         F.round(weight, 6).alias("mixture_weight"),
     ).orderBy("cluster")
+
+
+def _semantic_outlier_sql() -> str:
+    with_clause, last = _kmeans_ctes()
+    return (
+        with_clause
+        + f""",
+    q AS (
+      SELECT cluster, round(quantile_cont(sq_dist, 0.9), 6) AS p90
+      FROM {last} GROUP BY cluster
+    )
+    SELECT a.vec_id, a.cluster, a.sq_dist, q.p90,
+           CAST(a.sq_dist > q.p90 AS INT) AS is_outlier
+    FROM {last} a JOIN q USING (cluster) ORDER BY a.vec_id"""
+    )
+
+
+@register("semantic_outlier_prune", _semantic_outlier_sql())
+def semantic_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic outlier pruning for training corpora: flag vectors whose
+    squared distance to their kmeans centroid exceeds the cluster's p90 —
+    the prototypicality filter used to drop off-distribution documents
+    before training (the distance tail is where mislabeled / junk content
+    concentrates).
+
+    Scale shape: reuses embedding_kmeans' shuffle-free assignment, then
+    ONE map-side-combinable exact-percentile aggregate down to K rows and
+    a BROADCAST join of those K thresholds back onto the corpus — no
+    second corpus shuffle, no window over the data. At 10^12 rows the
+    exact percentile would swap to approx_percentile (same plan shape);
+    here it stays exact so the DuckDB oracle (quantile_cont over the same
+    6dp-rounded distances) is value-exact."""
+    km = embedding_kmeans(spark, sf_dir)
+    q = km.groupBy("cluster").agg(
+        F.round(F.percentile("sq_dist", F.lit(0.9)), 6).alias("p90")
+    )
+    return (
+        km.join(F.broadcast(q), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            "sq_dist",
+            "p90",
+            (F.col("sq_dist") > F.col("p90")).cast("int").alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
