@@ -3055,3 +3055,64 @@ def semantic_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "tfidf_topk_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(split(trim(text), ' ')) AS w FROM documents
+    ), tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, w
+    ), df AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w
+    ), s AS (
+      SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) * (SELECT count(*) FROM documents) / df.df
+               AS score
+      FROM tf JOIN df USING (w)
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+      FROM s
+    )
+    SELECT doc_id, term, tf, df, round(score, 6) AS score, rank
+    FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by TF-IDF — the keyword
+    profile used for topic tagging and near-duplicate triage. The IDF is
+    the RATIONAL form tf * N / df (no log): ranking is order-equivalent to
+    log-IDF for fixed tf, and integer-ratio doubles are bit-identical
+    across engines, so the oracle stays value-exact (a log() would differ
+    in the last ulp between libm builds and flip 6dp roundings).
+
+    Scale shape: term counts are ONE map-side-combinable groupBy on
+    (doc_id, term); doc frequency reuses that frame (already distinct per
+    doc) with a second combinable groupBy on term; the tf<->df equi-join
+    shuffles on term (AQE broadcasts when the vocabulary is small, as
+    here; at web scale the vocab is huge and the shuffle join with its
+    skew handling is the right plan — 'the' hits every doc). The top-3
+    window partitions by doc_id, so no global sort touches the corpus;
+    corpus size N is one driver scalar (same discipline as the iterative
+    ops)."""
+    d = read_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    s = tf.join(df, "w").select(
+        "doc_id",
+        F.col("w").alias("term"),
+        "tf",
+        "df",
+        (F.col("tf").cast("double") * F.lit(n_docs) / F.col("df")).alias("score"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        s.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("score"), "rank")
+        .orderBy("doc_id", "rank")
+    )
