@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "language_id_ngram",
     "rolling_fingerprint",
     "token_count_bpe",
+    "tfidf_topk_terms",
     "decontaminate_ngrams",
     "pii_redaction",
     "events_asof_join",
