@@ -100,10 +100,25 @@ def decode_media(data: bytes) -> tuple[str, np.ndarray]:
 
 
 def decode_external(fmt: str, data: bytes) -> np.ndarray:
-    """STUB — the real-codec seam. PIL/cv2/av are not installed in this
-    container; when they are, this function body is the only change needed
-    (the Spark plumbing above/below is codec-agnostic)."""
-    if fmt in ("png", "jpeg"):
+    """The real-codec seam, returning (H,W,3) RGB uint8 like the reference's
+    RawImage::new (crates/interface/src/image/mod.rs:155-177). PNG — the
+    reference's native fixture format — is decoded by the stdlib codec in
+    operators/png_codec.py (zlib + struct + numpy un-filtering; no PIL),
+    normalizing gray/gray+alpha/RGBA to RGB the way PIL's convert("RGB")
+    does (alpha dropped, luminance replicated). JPEG/video stay env-gated:
+    PIL/cv2/av are attempted and a clearly marked NotImplementedError is
+    raised otherwise."""
+    if fmt == "png":
+        from mit_spark.operators.png_codec import decode_png
+
+        arr = decode_png(data)
+        c = arr.shape[2]
+        if c == 3:
+            return arr
+        if c == 4:
+            return arr[:, :, :3].copy()
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    if fmt == "jpeg":
         try:  # pragma: no cover - libs absent in this container
             import io
 
@@ -114,7 +129,8 @@ def decode_external(fmt: str, data: bytes) -> np.ndarray:
             pass
     raise NotImplementedError(
         f"no codec for {fmt!r} in this environment (PIL/cv2/av absent); "
-        "tests/bench use the deterministic MITB container instead"
+        "PNG decodes via the stdlib codec, other formats use the "
+        "deterministic MITB container in tests/bench"
     )
 
 
@@ -155,22 +171,27 @@ def _chunks(batches):
             yield pdf.iloc[i : i + _CHUNK]
 
 
-def media_table(spark: SparkSession, docs_df: DataFrame) -> DataFrame:
-    """docs -> one row per media span with binary content + typed meta.
-    At scale the binary column stays columnar in Arrow; partition count
-    follows the exploded span rows (skew handled upstream by the explode)."""
-
+def _media_spans(spark: SparkSession, docs_df: DataFrame) -> DataFrame:
+    """docs -> (doc_id, media_ref) rows, spread for the payload UDF: media
+    spans arrive clustered by generating doc partition (skew: heavy docs put
+    64-256 payloads in one partition) — repartition on the pair hash first,
+    same move as the detect pipeline's pre-UDF repartition."""
     spans = (
         docs_df.select("doc_id", F.explode("spans").alias("s"))
         .filter(F.col("s.kind") == "media")
         .select("doc_id", F.col("s.media_ref").alias("media_ref"))
     )
-    # media spans arrive clustered by generating doc partition (skew: heavy
-    # docs put 64-256 payloads in one partition) — spread them first, same
-    # move as the detect pipeline's pre-UDF repartition
-    spans = spans.repartition(
+    return spans.repartition(
         spark.sparkContext.defaultParallelism * 2, F.xxhash64("doc_id", "media_ref")
     )
+
+
+def media_table(spark: SparkSession, docs_df: DataFrame) -> DataFrame:
+    """docs -> one row per media span with binary content + typed meta.
+    At scale the binary column stays columnar in Arrow; partition count
+    follows the exploded span rows (skew handled upstream by the explode)."""
+
+    spans = _media_spans(spark, docs_df)
 
     def attach(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -188,6 +209,44 @@ def media_table(spark: SparkSession, docs_df: DataFrame) -> DataFrame:
                     "content": payloads,
                     "meta": metas,
                 }
+            )
+
+    return spans.mapInPandas(attach, schema=MEDIA)
+
+
+def media_table_png(spark: SparkSession, docs_df: DataFrame) -> DataFrame:
+    """Image spans as REAL PNG payloads: same plumbing and schema as
+    media_table, but content is stdlib-encoded PNG (operators/png_codec.py,
+    Sub-filtered scanlines so the decode path un-does a real filter), so
+    downstream stats exercise the decode_external seam end-to-end — the
+    format the reference itself reads (RawImage::new,
+    crates/interface/src/image/mod.rs:155-177). Video refs are excluded:
+    PNG is a single-image format; multi-frame media keeps the MITB
+    container."""
+    from mit_spark.operators.png_codec import encode_png
+
+    spans = _media_spans(spark, docs_df)
+
+    def attach(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in _chunks(batches):
+            rows = []
+            for doc, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                b, m = synth_media_bytes(str(ref))
+                if m["n_frames"] != 1:
+                    continue
+                _, frames = decode_media(b)
+                rows.append(
+                    (
+                        doc,
+                        ref,
+                        encode_png(frames[0], filter_type=1),
+                        {**m, "mime": "image/png"},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "content", "meta"]
             )
 
     return spans.mapInPandas(attach, schema=MEDIA)
@@ -242,13 +301,26 @@ def resize_media(media_df: DataFrame, width: int, height: int) -> DataFrame:
     return resized.withColumn("meta", new_meta)
 
 
-def channel_stats(media_df: DataFrame) -> DataFrame:
+def _frames_mitb(content: bytes) -> np.ndarray:
+    return decode_media(content)[1]
+
+
+def _frames_png(content: bytes) -> np.ndarray:
+    from mit_spark.operators.multimodal import decode_external
+
+    return decode_external("png", content)[None]
+
+
+def channel_stats(media_df: DataFrame, *, frames_of=_frames_mitb) -> DataFrame:
     """Feature extraction: per-channel mean/std over all frames, rounded to
     4dp. Moments come from a 256-bin integer histogram per channel — ONE
     pass over the uint8 payload instead of a 4x float32 expansion plus the
     two extra passes np.std makes; exact in float64 (a histogram of uint8
     values loses nothing). This is the hot loop of the media-stats entry:
-    at 32 workers the float32 formulation was DRAM-bound and wobbly."""
+    at 32 workers the float32 formulation was DRAM-bound and wobbly.
+
+    ``frames_of`` maps payload bytes -> (F,H,W,C) uint8: MITB by default,
+    _frames_png for real PNG payloads — the stats plan is codec-agnostic."""
 
     _vals = np.arange(256, dtype=np.float64)
     _vals2 = _vals * _vals
@@ -259,7 +331,7 @@ def channel_stats(media_df: DataFrame) -> DataFrame:
         for pdf in _chunks(batches):
             rows = []
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
-                _, frames = decode_media(bytes(content))
+                frames = frames_of(bytes(content))
                 f, h, w, c = frames.shape
                 flat = frames.reshape(-1, c)
                 n = flat.shape[0]

@@ -108,6 +108,23 @@ def _append_lineage(spark: SparkSession, out_dir: str, rows: list[dict]) -> None
     ).coalesce(1).write.mode("append").parquet(_lineage_dir(out_dir))
 
 
+def _clear_restart_output(spark: SparkSession, out_dir: str,
+                          iceberg_table: str | None) -> None:
+    """Restart hygiene: every sink a prior run appended into must be emptied
+    before the new spec stamp lands. Bucket parquet is written with
+    mode('append'), so extracted/ + _lineage/ are removed; when the sink is
+    an Iceberg table, rows from the prior run survive in the table even after
+    the local dirs are gone — truncate it (DELETE FROM with no predicate is a
+    metadata-only truncation in Iceberg) so the rerun cannot mix old-spec and
+    duplicate rows under the fresh stamp."""
+    import shutil
+
+    shutil.rmtree(os.path.join(out_dir, "extracted"), ignore_errors=True)
+    shutil.rmtree(_lineage_dir(out_dir), ignore_errors=True)
+    if iceberg_table is not None:
+        spark.sql(f"DELETE FROM {iceberg_table}")
+
+
 def run_extraction(
     spark: SparkSession,
     docs_df: DataFrame,
@@ -160,12 +177,11 @@ def run_extraction(
                 "resume=False to restart from scratch in place)"
             )
         if not resume:
-            # restart: bucket parquet is written with mode('append'), so any
-            # prior extracted/ + lineage MUST be cleared before re-stamping —
-            # otherwise old-spec rows would sit beside new-spec rows under
-            # the new stamp (the exact mixing the guard exists to prevent)
-            shutil.rmtree(extracted_dir, ignore_errors=True)
-            shutil.rmtree(_lineage_dir(out_dir), ignore_errors=True)
+            # restart: clear every sink (local parquet AND the Iceberg table
+            # when one is configured) before re-stamping — otherwise old-spec
+            # rows would sit beside new-spec rows under the new stamp (the
+            # exact mixing the guard exists to prevent)
+            _clear_restart_output(spark, out_dir, iceberg_table)
             with open(meta_path, "w") as fh:
                 json.dump({"pipeline_spec_version": PIPELINE_SPEC_VERSION}, fh)
     else:
@@ -179,8 +195,7 @@ def run_extraction(
                 "resume=False to restart in place, or use a fresh out_dir"
             )
         if not resume:
-            shutil.rmtree(extracted_dir, ignore_errors=True)
-            shutil.rmtree(_lineage_dir(out_dir), ignore_errors=True)
+            _clear_restart_output(spark, out_dir, iceberg_table)
         with open(meta_path, "w") as fh:
             json.dump({"pipeline_spec_version": PIPELINE_SPEC_VERSION}, fh)
 

@@ -162,17 +162,82 @@ def test_iceberg_seam_guard_and_fallback(spark, tmp_path):
     assert read_extracted(spark, out).count() == 4
 
 
-@pytest.mark.skipif(
-    "not __import__('mit_spark.plans.checkpoint', fromlist=['iceberg_available'])"
-    ".iceberg_available(__import__('pyspark.sql', fromlist=['SparkSession'])"
-    ".SparkSession.getActiveSession() or "
-    "__import__('pyspark.sql', fromlist=['SparkSession']).SparkSession.builder"
-    ".getOrCreate())",
-    reason="Iceberg Spark runtime jar not on the classpath",
-)
+def test_restart_truncates_iceberg_sink(tmp_path):
+    """ADVICE r3 (medium): resume=False with an iceberg_table must truncate
+    the TABLE, not just the local parquet dirs — appended snapshots from the
+    prior run survive rmtree and would mix old-spec rows under the new stamp.
+    The runtime jar is absent in this sandbox, so the truncation is asserted
+    through a recording stub session; the real-jar twin is the tail of
+    test_iceberg_write_path."""
+    from mit_spark.plans.checkpoint import _clear_restart_output
+
+    out = str(tmp_path / "out")
+    os.makedirs(os.path.join(out, "extracted"))
+    os.makedirs(os.path.join(out, "_lineage"))
+
+    class _RecordingSession:
+        def __init__(self):
+            self.sqls = []
+
+        def sql(self, q):
+            self.sqls.append(q)
+
+    sess = _RecordingSession()
+    _clear_restart_output(sess, out, "cat.db.extracted")
+    assert sess.sqls == ["DELETE FROM cat.db.extracted"]
+    assert not os.path.exists(os.path.join(out, "extracted"))
+    assert not os.path.exists(os.path.join(out, "_lineage"))
+
+    # parquet-only restart must issue no table DML at all
+    sess2 = _RecordingSession()
+    _clear_restart_output(sess2, out, None)
+    assert sess2.sqls == []
+
+
+def test_restart_routes_iceberg_truncation(spark, tmp_path, monkeypatch):
+    """Integration twin of test_restart_clears_old_spec_output for the
+    Iceberg sink, runnable without the jar: iceberg_available is forced
+    True, the table's DDL/DML statements are intercepted, and max_waves=0
+    schedules zero waves so the only jar-touching calls are the intercepted
+    ones. Asserts run_extraction's restart branch reaches the DELETE."""
+    import mit_spark.plans.checkpoint as cp
+
+    cfg = PipelineConfig(detector=DetectorOptions(detect_size=256), n_buckets=4)
+    docs = spark.createDataFrame(gen_docs(4), schema=DOCS)
+    out = str(tmp_path / "out")
+    run_extraction(spark, docs, out, cfg)  # real parquet run stamps _meta.json
+    assert read_extracted(spark, out).count() == 4
+
+    issued = []
+    monkeypatch.setattr(cp, "iceberg_available", lambda s: True)
+    real_sql = spark.sql
+
+    def _sql(q, *a, **kw):
+        if "cat.db.extracted" in q:
+            issued.append(q)
+            return None
+        return real_sql(q, *a, **kw)
+
+    monkeypatch.setattr(spark, "sql", _sql)
+    cp.run_extraction(
+        spark, docs, out, cfg,
+        iceberg_table="cat.db.extracted", resume=False, max_waves=0,
+    )
+    assert any(q.startswith("DELETE FROM cat.db.extracted") for q in issued)
+    assert not os.path.exists(os.path.join(out, "extracted"))
+
+
 def test_iceberg_write_path(spark, tmp_path):
     """With the runtime jar present: waves append as Iceberg snapshots into
-    a bucket(doc_id)-partitioned table and resume skips done buckets."""
+    a bucket(doc_id)-partitioned table, resume skips done buckets, and a
+    restart truncates the table before re-writing (no doubled rows)."""
+    from mit_spark.plans.checkpoint import iceberg_available
+
+    if not iceberg_available(spark):
+        # decided against the live fixture session, not a throwaway
+        # default-config one (ADVICE r3: the string skipif marker used to
+        # getOrCreate() a session at collection time)
+        pytest.skip("Iceberg Spark runtime jar not on the classpath")
     spark.conf.set("spark.sql.catalog.mitcat", "org.apache.iceberg.spark.SparkCatalog")
     spark.conf.set("spark.sql.catalog.mitcat.type", "hadoop")
     spark.conf.set("spark.sql.catalog.mitcat.warehouse", str(tmp_path / "wh"))
@@ -184,3 +249,7 @@ def test_iceberg_write_path(spark, tmp_path):
     m2 = run_extraction(spark, docs, out, cfg, iceberg_table=tbl)
     assert m1["buckets_processed"] + m2["buckets_processed"] == 4
     assert spark.table(tbl).count() == 6
+    # restart hygiene (ADVICE r3, medium): resume=False truncates the table
+    m3 = run_extraction(spark, docs, out, cfg, iceberg_table=tbl, resume=False)
+    assert m3["buckets_processed"] == 4
+    assert spark.table(tbl).count() == 6  # not 12 — prior snapshots cleared
