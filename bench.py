@@ -52,6 +52,16 @@ BENCH_QUERIES = [
     "sequence_pack",
     "streaming_windowed_stats",
     "media_channel_stats",
+    # round 4: new operators + previously-unbenched round-3 families
+    "substring_dedup_runs",
+    "cluster_balanced_sample",
+    "media_channel_stats_png",
+    "semantic_mixture_weights",
+    "semantic_outlier_prune",
+    "minhash_verified_dups",
+    "token_length_quantiles",
+    "domain_mixture_weights",
+    "ngram_jaccard_pairs",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

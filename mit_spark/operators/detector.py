@@ -26,25 +26,30 @@ from mit_spark.operators.geometry import Quad
 from mit_spark.operators.rearrange import det_rearrange_forward, should_rearrange
 
 
-def infer(
-    img: np.ndarray, forward: ForwardFn, opts: DetectorOptions
-) -> tuple[list[Quad], np.ndarray]:
-    """dbnet/src/lib.rs:104-221. Returns (quads, mask uint8 (H,W))."""
-    if should_rearrange(img, opts.detect_size):
-        shape = (img.shape[0], img.shape[1])
-        db, mask = det_rearrange_forward(img, opts.detect_size, opts.max_batch_size, forward)
-        ratio_w = ratio_h = 1.0
-        pad_w = pad_h = 0
-    else:
-        pre = img
-        if opts.pre_filter == "bilateral":
-            pre = ops.bilateral_filter(pre, 17, 80.0, 80.0)
-        resized, ratio, pad_w, pad_h = ops.resize_aspect_ratio(pre, opts.detect_size, 1.0)
-        ratio_h = 1.0 / ratio
-        ratio_w = ratio_h
-        shape = (resized.shape[0], resized.shape[1])
-        db, mask = forward(resized[None, ...])
+def infer_pre(
+    img: np.ndarray, opts: DetectorOptions
+) -> tuple[np.ndarray, tuple]:
+    """The non-rearrange branch of infer() UP TO the forward input tensor
+    (dbnet/src/lib.rs:131-141): optional bilateral denoise, aspect resize,
+    pad to the 256 multiple. Returns (resized (H,W,3) uint8, ctx) where ctx
+    carries everything infer_post needs — split out so the batched media
+    path (operators/batched_detect.py) can PACK same-shaped tensors from
+    different images into one forward call."""
+    pre = img
+    if opts.pre_filter == "bilateral":
+        pre = ops.bilateral_filter(pre, 17, 80.0, 80.0)
+    resized, ratio, pad_w, pad_h = ops.resize_aspect_ratio(pre, opts.detect_size, 1.0)
+    shape = (resized.shape[0], resized.shape[1])
+    return resized, (shape, 1.0 / ratio, pad_w, pad_h)
 
+
+def infer_post(
+    db: np.ndarray, mask: np.ndarray, ctx: tuple, opts: DetectorOptions
+) -> tuple[list[Quad], np.ndarray]:
+    """Everything after the forward in infer() (dbnet/src/lib.rs:150-221):
+    representer -> box filter -> area gate; mask x255 resize x2 pad strip.
+    db/mask are the heads for ONE image (leading batch dim of 1)."""
+    shape, ratio_wh, pad_w, pad_h = ctx
     mask2d = mask[0, 0] if opts.emit_mask else None
 
     boxes_b, scores_b = representer_call(
@@ -58,7 +63,7 @@ def infer(
     )
     boxes, scores = boxes_b[0], scores_b[0]
     keep = boxes.reshape(len(boxes), -1).sum(axis=1) > 0 if len(boxes) else np.zeros(0, bool)
-    polys = filter_boxes_and_adjust(boxes, ratio_w, ratio_h)
+    polys = filter_boxes_and_adjust(boxes, ratio_wh, ratio_wh)
     kept_scores = scores[keep] if len(boxes) else scores
 
     quads = []
@@ -77,17 +82,26 @@ def infer(
     return quads, m8
 
 
-def detect(
-    img: np.ndarray,
-    forward: ForwardFn,
-    opts: DetectorOptions,
-    pre: PreprocessorOptions = PreprocessorOptions(),
-    infer_fn=None,
+def infer(
+    img: np.ndarray, forward: ForwardFn, opts: DetectorOptions
 ) -> tuple[list[Quad], np.ndarray]:
-    """Detector::detect + common::detect. Returns (quads in ORIGINAL image
-    coordinates, mask uint8). ``infer_fn`` selects the variant (the Detector
-    trait's default detect() wraps any infer, detectors/mod.rs:47-68)."""
-    infer_fn = infer_fn or infer
+    """dbnet/src/lib.rs:104-221. Returns (quads, mask uint8 (H,W))."""
+    if should_rearrange(img, opts.detect_size):
+        shape = (img.shape[0], img.shape[1])
+        db, mask = det_rearrange_forward(img, opts.detect_size, opts.max_batch_size, forward)
+        ctx = (shape, 1.0, 0, 0)
+    else:
+        resized, ctx = infer_pre(img, opts)
+        db, mask = forward(resized[None, ...])
+    return infer_post(db, mask, ctx, opts)
+
+
+def detect_pre(
+    img: np.ndarray, pre: PreprocessorOptions
+) -> tuple[np.ndarray, tuple | None, int]:
+    """common.rs:8-39 wrapper transforms BEFORE infer: border-400 +
+    rotate/invert/gamma flags. Returns (work image, add_border dims-or-None,
+    original image height) — the inputs detect_post needs to undo them."""
     img_h = img.shape[0]
     add_border = None
     if min(img.shape[0], img.shape[1]) < 400:  # common.rs:16-21
@@ -99,6 +113,42 @@ def detect(
         work = ops.invert(work)
     if pre.gamma_correct:
         work = ops.gamma_correction(work)
+    return work, add_border, img_h
+
+
+def detect_post(
+    quads: list[Quad],
+    mask: np.ndarray,
+    add_border: tuple | None,
+    pre: PreprocessorOptions,
+    img_h: int,
+) -> tuple[list[Quad], np.ndarray]:
+    """common.rs:52-77 wrapper transforms AFTER infer: strip the border-400
+    from the mask, un-rotate mask + remap quads (x,y)->(y, -x+h)."""
+    if add_border is not None and mask is not None:  # common.rs:52-56
+        w, h = add_border
+        mask = ops.remove_border_mask(mask, w, h)
+    if pre.rotate:  # common.rs:58-77
+        if mask is not None:
+            mask = ops.rotate_left_mask(mask)
+        quads = [
+            Quad([(int(y), int(-x + img_h)) for x, y in q.pts], q.score) for q in quads
+        ]
+    return quads, mask
+
+
+def detect(
+    img: np.ndarray,
+    forward: ForwardFn,
+    opts: DetectorOptions,
+    pre: PreprocessorOptions = PreprocessorOptions(),
+    infer_fn=None,
+) -> tuple[list[Quad], np.ndarray]:
+    """Detector::detect + common::detect. Returns (quads in ORIGINAL image
+    coordinates, mask uint8). ``infer_fn`` selects the variant (the Detector
+    trait's default detect() wraps any infer, detectors/mod.rs:47-68)."""
+    infer_fn = infer_fn or infer
+    work, add_border, img_h = detect_pre(img, pre)
 
     quads, mask = infer_fn(work, forward, opts)
 
@@ -122,17 +172,7 @@ def detect(
                 infer_fn,
             )
 
-    if add_border is not None and mask is not None:  # common.rs:52-56
-        w, h = add_border
-        mask = ops.remove_border_mask(mask, w, h)
-
-    if pre.rotate:  # common.rs:58-77: un-rotate mask + remap (x,y)->(y, -x+h)
-        if mask is not None:
-            mask = ops.rotate_left_mask(mask)
-        quads = [
-            Quad([(int(y), int(-x + img_h)) for x, y in q.pts], q.score) for q in quads
-        ]
-    return quads, mask
+    return detect_post(quads, mask, add_border, pre, img_h)
 
 
 # ---------------------------------------------------------------------------

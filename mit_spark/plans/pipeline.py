@@ -40,30 +40,26 @@ def _media_udf(detector_conf: dict, pre_conf: dict, fault_inject_refs: tuple = (
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
-        from mit_spark.operators.ordering import SPAN_STRIDE
-        from mit_spark.oracle import extract_media_span
+        from mit_spark.operators.batched_detect import extract_media_spans_batched
         from mit_spark.session import apply_worker_env
 
         apply_worker_env()
         opts = DetectorOptions(**detector_conf)
         pre = PreprocessorOptions(**pre_conf)
-        fault_refs = set(fault_inject_refs or ())
+        fault_refs = frozenset(fault_inject_refs or ())
         for pdf in batches:
-            rows = []
-            for doc_id, ref, off in zip(pdf["doc_id"], pdf["media_ref"], pdf["offset"]):
-                # per-span poison tolerance (SURVEY.md §2.10): a raising span
-                # becomes one kind='error' row (dropped before the regroup,
-                # counted into lineage) instead of a task failure
-                try:
-                    if str(ref) in fault_refs:
-                        raise RuntimeError("fault injection")
-                    for s in extract_media_span(str(ref), int(off), opts, pre):
-                        rows.append((doc_id, s["kind"], s["text"], s["media_ref"], s["order"]))
-                except Exception as e:  # noqa: BLE001 — poison isolation
-                    rows.append(
-                        (doc_id, "error", f"{type(e).__name__}: {e}"[:500], str(ref),
-                         int(off) * SPAN_STRIDE)
-                    )
+            # cross-image forward packing over the whole Arrow batch
+            # (operators/batched_detect.py): same rows as the per-span
+            # extract_media_span loop — incl. per-span poison isolation
+            # (SURVEY.md §2.10: a raising span becomes one kind='error' row,
+            # dropped before the regroup, counted into lineage) — with up to
+            # max_batch_size fewer forward calls
+            rows = extract_media_spans_batched(
+                list(zip(pdf["doc_id"], pdf["media_ref"], pdf["offset"])),
+                opts,
+                pre,
+                fault_refs=fault_refs,
+            )
             yield pd.DataFrame(rows, columns=["doc_id", "kind", "text", "media_ref", "order"])
 
     return run
