@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "token_length_quantiles",
     "domain_mixture_weights",
     "ngram_jaccard_pairs",
+    "bloom_dedup_screen",
+    "media_frame_census",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

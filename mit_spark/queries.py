@@ -1621,18 +1621,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # strong oracle is the numpy golden equality in tests/test_multimodal.py)
 
 
-def _media_stats_sql(images_only: bool = False) -> str:
-    """Closed-form oracle for the decoded channel statistics: a rendered
-    page's pixel HISTOGRAM is a pure function of rect/mark GEOMETRY (the
-    jitter positions never matter), video frames are rolls of frame 0 (same
-    multiset), and all three channels are equal — so DuckDB can compute the
-    exact per-ref mean/std from the same md5 arithmetic the flagship
-    oracles use, without ever rendering a pixel. Validated closed-form ==
-    rendered-histogram for 884/884 refs. ``images_only`` restricts to
-    single-frame refs — the slice the PNG-payload variant carries."""
+def _media_refvals_sql() -> str:
+    """CTE chain (appended to the flagship body) deriving per-media-ref
+    closed-form pixel aggregates: n1 (pixels/frame), bg/base/mark_sum
+    (histogram mass per intensity class) and n_frames — shared by the
+    channel-stats and frame-census oracles."""
     h = _h_sql
-    mean_expr = "(255.0*bg + 40.0*base + 90.0*mark_sum) / n1"
-    e2_expr = "(65025.0*bg + 1600.0*base + 8100.0*mark_sum) / n1"
     return (
         _flagship_expected_body()
         + f"""
@@ -1654,7 +1648,24 @@ def _media_stats_sql(images_only: bool = False) -> str:
              CASE WHEN (ascii(substr(mref,16,1)) + 256*ascii(substr(mref,17,1))) % 7 = 0
                   THEN 4 ELSE 1 END AS n_frames
       FROM mstats
-    ), refstats AS (
+    )"""
+    )
+
+
+def _media_stats_sql(images_only: bool = False) -> str:
+    """Closed-form oracle for the decoded channel statistics: a rendered
+    page's pixel HISTOGRAM is a pure function of rect/mark GEOMETRY (the
+    jitter positions never matter), video frames are rolls of frame 0 (same
+    multiset), and all three channels are equal — so DuckDB can compute the
+    exact per-ref mean/std from the same md5 arithmetic the flagship
+    oracles use, without ever rendering a pixel. Validated closed-form ==
+    rendered-histogram for 884/884 refs. ``images_only`` restricts to
+    single-frame refs — the slice the PNG-payload variant carries."""
+    mean_expr = "(255.0*bg + 40.0*base + 90.0*mark_sum) / n1"
+    e2_expr = "(65025.0*bg + 1600.0*base + 8100.0*mark_sum) / n1"
+    return (
+        _media_refvals_sql()
+        + f""", refstats AS (
       SELECT doc, off, mref, n_frames,
              round({mean_expr}, 4) AS mean,
              round(sqrt(greatest({e2_expr} - pow({mean_expr}, 2), 0.0)), 4) AS std
@@ -1694,6 +1705,60 @@ def media_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_frames").alias("total_frames"),
         )
         .orderBy("channel")
+    )
+
+
+@register(
+    "media_frame_census",
+    _media_refvals_sql()
+    + """
+    SELECT CASE WHEN n_frames = 4 THEN 'video' ELSE 'image' END AS kind,
+           count(*)::BIGINT AS n_media,
+           sum(n_frames)::BIGINT AS total_frames,
+           sum(CASE WHEN n_frames = 4 THEN 2 ELSE 1 END)::BIGINT AS sampled_frames
+    FROM refvals GROUP BY 1 ORDER BY kind
+    """,
+)
+def media_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling census: run frame_sample (keep every 2nd frame) over
+    the decoded media table and report, per source kind, how many media
+    rows, raw frames, and KEPT frames flow out — the row-multiplication
+    accounting a video-training pipeline needs before sizing its downstream
+    stages. This puts the frame_sample operator itself under the SQL gate
+    (the multimodal golden tests check pixels; this checks the corpus-wide
+    row arithmetic): the oracle re-derives per-ref frame counts closed-form
+    from the media_ref hash (n_frames = 4 iff the ref's trailing bytes % 7
+    == 0, the same arithmetic synth_media_bytes uses), so a dropped frame
+    row, wrong ceil(n/k) sampling, or video/image misclassification all
+    flip the hash. Arrow-batched mapInPandas end-to-end; the join back to
+    meta is on the 16-hex media_ref key."""
+    from mit_spark.operators.multimodal import frame_sample, media_table
+    from mit_spark.sources.docs_source import load_docs
+
+    docs = load_docs(spark, sf_dir, max_doc_no=120)
+    media = media_table(spark, docs)
+    sampled = (
+        frame_sample(media, every_k=2)
+        .groupBy("media_ref")
+        .agg(F.count(F.lit(1)).alias("kept"))
+    )
+    return (
+        media.select("media_ref", F.col("meta.n_frames").alias("nf"))
+        .join(sampled, "media_ref")
+        .select(
+            F.when(F.col("nf") == 4, F.lit("video"))
+            .otherwise(F.lit("image"))
+            .alias("kind"),
+            "nf",
+            "kept",
+        )
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.sum("nf").cast("long").alias("total_frames"),
+            F.sum("kept").cast("long").alias("sampled_frames"),
+        )
+        .orderBy("kind")
     )
 
 
@@ -2621,6 +2686,147 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "lang")
 
 
+def _incdedup_batch(spark: SparkSession, sf_dir: str, d: DataFrame) -> DataFrame:
+    """The synthetic incoming-batch table (doc_id, words) shared by
+    incremental_dedup and bloom_dedup_screen: exact re-posts (%10==3),
+    near re-crawls (%10==7, last word dropped), fresh docs (%10==5,
+    reversed). STAGED to parquet once per sf_dir — in production the batch
+    IS a materialized table, and deriving it lazily made every downstream
+    branch re-scan documents (~90 scans unstaged vs ~6)."""
+    base = _staging_dir(sf_dir, "incdedup_batch", "v1")
+    batch_path = os.path.join(base, "batch")
+
+    def _build() -> None:
+        synth = (
+            d.filter(F.col("doc_id") % 10 == 3)
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "words")
+            .unionByName(
+                d.filter(F.col("doc_id") % 10 == 7).select(
+                    (F.col("doc_id") + 200000).alias("doc_id"),
+                    F.slice("words", 1, F.size("words") - 1).alias("words"),
+                )
+            )
+            .unionByName(
+                d.filter(F.col("doc_id") % 10 == 5).select(
+                    (F.col("doc_id") + 300000).alias("doc_id"),
+                    F.reverse("words").alias("words"),
+                )
+            )
+        )
+        synth.coalesce(4).write.mode("overwrite").parquet(batch_path)
+
+    _staged(base, _build)
+    return spark.read.parquet(batch_path)
+
+
+_BLOOM_M = 4096  # bit-array size; sized small so false positives APPEAR
+_BLOOM_K = 3  # hash lanes
+
+
+def _bloom_screen_sql() -> str:
+    def pos(hexpr: str, lane: str) -> str:
+        return f"('0x'||substr(md5({lane} || ':' || {hexpr}),1,8))::BIGINT % {_BLOOM_M}"
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id, split(trim(text), ' ') AS words FROM documents
+    ), batch AS (
+      SELECT doc_id + 100000 AS doc_id, words FROM base WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 200000, words[1:len(words) - 1] FROM base WHERE doc_id % 10 = 7
+      UNION ALL
+      SELECT doc_id + 300000, list_reverse(words) FROM base WHERE doc_id % 10 = 5
+    ), corpus_h AS (
+      SELECT DISTINCT md5(array_to_string(words, ' ')) AS h FROM base
+    ), lanes AS (SELECT unnest(['0','1','2']) AS lane),
+    bits AS (
+      SELECT DISTINCT {pos('c.h', 'l.lane')} AS p FROM corpus_h c, lanes l
+    ), ch AS (
+      SELECT doc_id, md5(array_to_string(words, ' ')) AS h FROM batch
+    ), probe AS (
+      SELECT b.doc_id, {pos('b.h', 'l.lane')} AS p FROM ch b, lanes l
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_set FROM probe JOIN bits USING (p)
+      GROUP BY doc_id
+    ), td AS (
+      SELECT c.doc_id, 1 AS t FROM ch c JOIN corpus_h u ON c.h = u.h
+    )
+    SELECT c.doc_id,
+           CAST(COALESCE(h.n_set, 0) = {_BLOOM_K} AS INT) AS bloom_hit,
+           CAST(COALESCE(td.t, 0) AS INT) AS true_dup,
+           CAST(COALESCE(h.n_set, 0) = {_BLOOM_K} AND td.t IS NULL AS INT)
+             AS false_positive
+    FROM ch c LEFT JOIN hits h USING (doc_id) LEFT JOIN td USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@register("bloom_dedup_screen", _bloom_screen_sql())
+def bloom_dedup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter MEMBERSHIP SCREEN for incremental dedup — the constant-
+    space pre-filter a recurring crawl runs before any join: the corpus's
+    content hashes set k=3 positions each in an m=4096-bit array
+    (_BLOOM_K/_BLOOM_M); a batch doc is a candidate (bloom_hit) iff all its
+    k positions are set, and only candidates proceed to the exact verify.
+    Output per batch doc: (bloom_hit, true_dup, false_positive) — m is
+    sized SMALL here so false positives actually appear and the
+    no-false-NEGATIVES property is visible to the gate (every true_dup row
+    must have bloom_hit=1).
+
+    DETERMINISTIC by construction: positions are md5-derived (lane:hash ->
+    first 8 hex digits -> mod m), so Spark and DuckDB build bit-identical
+    filters — bloom behavior itself is value-gated, not just row-counted.
+
+    Scale shape: the set-bit table is DISTINCT positions (<= m rows, never
+    corpus-sized) and broadcast to the probe side; the probe is k codegen
+    projections + one broadcast join + a k-row-per-doc count. At 10^12 docs
+    you'd aggregate the positions into a real bitmap (m ~ 10 bits/doc for
+    1% FP) sharded by position range and OR-merged map-side — the position
+    arithmetic and the screen semantics are unchanged; only the set-bit
+    representation densifies. No corpus-side shuffle at probe time at all —
+    the filter is built once and reused across batches."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("words")
+    )
+    batch = _incdedup_batch(spark, sf_dir, d)
+    content = F.md5(F.concat_ws(" ", "words"))
+
+    def positions(hcol) -> Column:
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), hcol)), 1, 8), 16, 10
+                ).cast("long")
+                % _BLOOM_M
+                for i in range(_BLOOM_K)
+            ]
+        )
+
+    corpus_h = d.select(content.alias("h")).distinct()
+    bits = corpus_h.select(F.explode(positions(F.col("h"))).alias("p")).distinct()
+    ch = batch.select("doc_id", content.alias("h"))
+    probe = ch.select("doc_id", F.explode(positions(F.col("h"))).alias("p"))
+    hits = (
+        probe.join(F.broadcast(bits), "p")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    td = ch.join(corpus_h, "h", "left_semi").select("doc_id", F.lit(1).alias("t"))
+    return (
+        ch.join(hits, "doc_id", "left")
+        .join(td, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("n_set", F.lit(0)) == _BLOOM_K).cast("int").alias("bloom_hit"),
+            F.coalesce("t", F.lit(0)).cast("int").alias("true_dup"),
+            ((F.coalesce("n_set", F.lit(0)) == _BLOOM_K) & F.col("t").isNull())
+            .cast("int")
+            .alias("false_positive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _incremental_dedup_sql() -> str:
     mh = ",\n             ".join(f"min(d[{5*j+1}:{5*j+5}]) AS mh{j}" for j in range(6))
     return f"""
@@ -2707,30 +2913,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.trim("text"), " ").alias("words")
     )
-    base = _staging_dir(sf_dir, "incdedup_batch", "v1")
-    batch_path = os.path.join(base, "batch")
-
-    def _build() -> None:
-        synth = (
-            d.filter(F.col("doc_id") % 10 == 3)
-            .select((F.col("doc_id") + 100000).alias("doc_id"), "words")
-            .unionByName(
-                d.filter(F.col("doc_id") % 10 == 7).select(
-                    (F.col("doc_id") + 200000).alias("doc_id"),
-                    F.slice("words", 1, F.size("words") - 1).alias("words"),
-                )
-            )
-            .unionByName(
-                d.filter(F.col("doc_id") % 10 == 5).select(
-                    (F.col("doc_id") + 300000).alias("doc_id"),
-                    F.reverse("words").alias("words"),
-                )
-            )
-        )
-        synth.coalesce(4).write.mode("overwrite").parquet(batch_path)
-
-    _staged(base, _build)
-    batch = spark.read.parquet(batch_path)
+    batch = _incdedup_batch(spark, sf_dir, d)
     content = F.md5(F.concat_ws(" ", "words"))
     corpus_hashes = d.select(content.alias("h")).distinct()
     exact = (
@@ -3145,6 +3328,25 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def _kmeans_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged (vec_id, cluster, sq_dist) kmeans labels — the 'cluster
+    assignment is a materialized upstream table' shape every composing
+    consumer (mixture weights, outlier prune, balanced sampling) would read
+    at production scale instead of re-running Lloyd's per query. Built once
+    per sf_dir behind the _STAGED marker (same discipline as the dedup pair
+    cache); bit-identical to a live embedding_kmeans run by construction."""
+    base = _staging_dir(sf_dir, "kmeans_labels", "v1")
+    path = os.path.join(base, "labels")
+    _staged(
+        base,
+        lambda: embedding_kmeans(spark, sf_dir)
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(path),
+    )
+    return spark.read.parquet(path)
+
+
 def _semantic_mixture_sql() -> str:
     with_clause, last = _kmeans_ctes()
     return (
@@ -3182,7 +3384,7 @@ def semantic_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     to K rows; the global windows run over K=8 rows — driver-sized by
     construction. Integer counts are exact; only the final normalized
     doubles are rounded (6dp) for cross-engine hashing."""
-    clusters = embedding_kmeans(spark, sf_dir).select("vec_id", "cluster")
+    clusters = _kmeans_labels(spark, sf_dir).select("vec_id", "cluster")
     d = read_table(spark, sf_dir, "documents").select(
         F.col("doc_id"), F.size(F.split(F.trim("text"), " ")).alias("n")
     )
@@ -3237,7 +3439,7 @@ def semantic_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact percentile would swap to approx_percentile (same plan shape);
     here it stays exact so the DuckDB oracle (quantile_cont over the same
     6dp-rounded distances) is value-exact."""
-    km = embedding_kmeans(spark, sf_dir)
+    km = _kmeans_labels(spark, sf_dir)
     q = km.groupBy("cluster").agg(
         F.round(F.percentile("sq_dist", F.lit(0.9)), 6).alias("p90")
     )
@@ -3287,7 +3489,7 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratified_sample; the plan shape is otherwise unchanged. Oracle
     composes _kmeans_ctes() — the pattern semantic_mixture_weights
     established."""
-    km = embedding_kmeans(spark, sf_dir).select("vec_id", "cluster")
+    km = _kmeans_labels(spark, sf_dir).select("vec_id", "cluster")
     cap = (
         km.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n"))
