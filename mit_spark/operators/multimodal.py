@@ -4,14 +4,16 @@ feature-extract operators over ``mapInPandas`` (training-data-pipeline
 operator set; SURVEY.md §1.1 RawImage mapping).
 
 The reference decodes PNG/JPEG from disk (``RawImage::new``,
-crates/interface/src/image/mod.rs:155-177). This container has no image
-codec libraries, so the engine carries media through a deterministic raw
-container (``MITB``: magic + kind + dims + frame count + packed u8
-payload) and the REAL-codec seam (`decode_external`) is a clearly marked
-STUB: it attempts PIL/cv2/av imports and raises ``NotImplementedError``
-otherwise. Everything Spark-side — schemas, Arrow batch shape, partition
-strategy, UDF signatures — is real and tested; swapping the codec does not
-touch the plan.
+crates/interface/src/image/mod.rs:155-177). The engine carries multi-frame
+media through a deterministic raw container (``MITB``: magic + kind + dims
++ frame count + packed u8 payload); the real-codec seam
+(`decode_external`) decodes PNG — the reference's native fixture format —
+via the pure-stdlib codec in operators/png_codec.py (no PIL), while
+JPEG/video remain env-gated behind PIL/cv2/av imports with a clearly
+marked ``NotImplementedError`` otherwise. Everything Spark-side —
+schemas, Arrow batch shape, partition strategy, UDF signatures — is
+codec-agnostic; `media_table_png` + `channel_stats(frames_of=_frames_png)`
+run the PNG path end-to-end under the SQL oracle gate.
 """
 
 from __future__ import annotations
@@ -241,7 +243,7 @@ def media_table_png(spark: SparkSession, docs_df: DataFrame) -> DataFrame:
                     (
                         doc,
                         ref,
-                        encode_png(frames[0], filter_type=1),
+                        encode_png(frames[0], filter_type=1, level=1),
                         {**m, "mime": "image/png"},
                     )
                 )

@@ -46,9 +46,10 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
     """(H,W) / (H,W,C) uint8 -> PNG bytes. ``filter_type`` (0-4) is applied
-    to every scanline; all five produce identical pixels on decode."""
+    to every scanline; all five produce identical pixels on decode.
+    ``level`` is the zlib effort (1 = fast, 6 = default ratio)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
@@ -82,7 +83,7 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), level))
         + _chunk(b"IEND", b"")
     )
 
