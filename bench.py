@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "bloom_dedup_screen",
     "media_frame_census",
+    "streaming_stateful_dedup",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

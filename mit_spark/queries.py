@@ -2017,6 +2017,70 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stateful_dedup",
+    """
+    WITH d AS (SELECT doc_id, md5(trim(text)) AS h FROM documents),
+    files AS (
+      SELECT doc_id, h, 0 AS f FROM d WHERE doc_id < 400
+      UNION ALL
+      SELECT doc_id, h, 1 FROM d WHERE doc_id >= 200 AND doc_id < 700
+      UNION ALL
+      SELECT doc_id, h, 2 FROM d WHERE doc_id >= 500
+    ), r AS (
+      SELECT doc_id, h,
+             row_number() OVER (PARTITION BY h ORDER BY f, doc_id) AS rn
+      FROM files
+    )
+    SELECT doc_id::BIGINT AS doc_id, h AS content_hash
+    FROM r WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under the SQL gate: three
+    overlapping arrival files (re-crawl waves: [0,400), [200,700),
+    [500,inf) by doc_id) drain through applyInPandasWithState exact dedup
+    (streaming/micro_batch.py stateful_dedup_stream) — first arrival of
+    each content hash is emitted, every re-send suppressed by GroupState
+    that persists across micro-batches and across the exactly-once
+    re-drain. Arrival order is pinned by explicit mtimes +
+    maxFilesPerTrigger=1, so the oracle can replicate 'first file, then
+    min doc_id' as a plain window over the file-membership union. A
+    duplicate emit (state lost), a dropped batch, or a wrong winner all
+    flip the hash."""
+    import glob
+
+    from mit_spark.streaming.micro_batch import stateful_dedup_stream
+
+    base = _staging_dir(sf_dir, "stream_sdedup", "v1")
+    inp, out, ckp = f"{base}/in", f"{base}/out", f"{base}/ckp"
+
+    def _build() -> None:
+        d = read_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        slices = [
+            d.filter(F.col("doc_id") < 400),
+            d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 700)),
+            d.filter(F.col("doc_id") >= 500),
+        ]
+        os.makedirs(inp, exist_ok=True)
+        for k, s in enumerate(slices):
+            part_dir = os.path.join(base, f"slice{k}")
+            s.coalesce(1).write.mode("overwrite").parquet(part_dir)
+            src = glob.glob(os.path.join(part_dir, "part-*"))[0]
+            dst = os.path.join(inp, f"arrival-{k}.parquet")
+            os.replace(src, dst)
+            # pin arrival order: the file source orders batches by mtime
+            t = 1_700_000_000 + k * 60
+            os.utime(dst, (t, t))
+
+    _staged(base, _build)
+    stateful_dedup_stream(spark, inp, out, ckp)
+    stateful_dedup_stream(spark, inp, out, ckp)  # re-drain: no new files, no new rows
+    return spark.read.parquet(out).select("doc_id", "content_hash").orderBy("doc_id")
+
+
+@register(
     "streaming_windowed_stats",
     """
     WITH mx AS (SELECT max(ts) AS m FROM events)

@@ -53,6 +53,74 @@ def run_stream(
     return writer.start()
 
 
+def stateful_dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Custom STATEFUL streaming operator (applyInPandasWithState — the
+    Arrow-batched GroupState API): exact first-arrival-wins dedup across
+    micro-batches, keyed on the content hash. One boolean of state per
+    distinct hash lives in Spark's state store, survives across
+    micro-batches AND across restarts via the checkpoint, so a document
+    re-sent in a later arrival file is suppressed without any corpus-side
+    rescan — the streaming twin of incremental_dedup's batch-vs-corpus
+    screen, with the 'existing corpus' replaced by operator state.
+
+    maxFilesPerTrigger=1 makes each arrival file its own micro-batch (in
+    mtime order), which is what gives 'first arrival' a deterministic
+    meaning; within one batch the smallest doc_id of a group wins. At
+    10^12-doc scale the state store is hash-partitioned across executors
+    exactly like any keyed stream — no driver state, no broadcast."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    in_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    out_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("content_hash", StringType())]
+    )
+    state_schema = StructType([StructField("seen", LongType())])
+
+    def dedup(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        if state.exists:  # hash emitted in an earlier micro-batch: suppress
+            return
+        best = None
+        for pdf in pdfs:
+            m = int(pdf["doc_id"].min())
+            best = m if best is None else min(best, m)
+        state.update((1,))
+        yield pd.DataFrame({"doc_id": [best], "content_hash": [key[0]]})
+
+    stream = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+    )
+    hashed = stream.select("doc_id", F.md5(F.trim("text")).alias("h"))
+    kept = hashed.groupBy("h").applyInPandasWithState(
+        dedup, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+    def sink(batch_df, _batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            batch_df.write.mode("append").parquet(output_path)
+
+    q = (
+        kept.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_event_stats(
     spark: SparkSession,
     events_path: str,
