@@ -76,9 +76,39 @@ def serve(cpus: int, n_docs: int) -> None:
     spark.stop()
 
 
+def _host_phase() -> dict:
+    """Record (and guard against) the conditions that corrupt a scaling
+    measurement: another live JVM on the box (a concurrent Spark session
+    steals cores from the HIGH level disproportionately and biases the
+    ratio), and pre-existing load. Refuses to run next to another JVM
+    unless SCALING_FORCE=1; loadavg is recorded into the result either way
+    so a reader can judge the phase."""
+    other_jvms = 0
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "comm"], capture_output=True, text=True, timeout=10
+        ).stdout
+        other_jvms = out.count("java")
+    except Exception:
+        pass
+    try:
+        la1, la5, la15 = (float(x) for x in open("/proc/loadavg").read().split()[:3])
+    except Exception:
+        la1 = la5 = la15 = -1.0
+    if other_jvms and not os.environ.get("SCALING_FORCE"):
+        raise SystemExit(
+            f"refusing to measure: {other_jvms} other JVM(s) alive on this box "
+            "(a concurrent Spark session biases the ratio; stop it or set "
+            "SCALING_FORCE=1)"
+        )
+    return {"other_jvms_at_start": other_jvms,
+            "loadavg_at_start": [la1, la5, la15]}
+
+
 def main() -> int:
     pair = tuple(int(x) for x in os.environ.get("PAIR", "4,16").split(","))
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
+    phase = _host_phase()
     procs = {}
     for cpus in pair:
         procs[cpus] = subprocess.Popen(
@@ -123,6 +153,7 @@ def main() -> int:
         "scaling_efficiency": round(eff, 3),
         "interleaved": True,
         "rounds": ROUNDS,
+        "host_phase": phase,
     }
     print(json.dumps(res, indent=2))
     with open(
