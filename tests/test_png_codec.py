@@ -56,6 +56,47 @@ def test_decoder_rejects_out_of_scope():
         encode_png(img, filter_type=7)
 
 
+def test_decoder_against_hand_built_bytes():
+    """Independent golden: the PNG is assembled BYTE BY BYTE from the spec
+    here (filter arithmetic done by hand, not by our encoder), so a
+    symmetric encoder+decoder bug — both misreading the same spec clause —
+    cannot round-trip its way past this test.
+
+    Image (2x2 RGB):   (10,20,30) (110,120,130)
+                       (40,50,60) ( 40, 60, 80)
+    Row 0 uses filter 1 (Sub):  10,20,30, then 110-10,120-20,130-30
+    Row 1 uses filter 2 (Up):   40-10,50-20,60-30, then 40-110,60-120,80-130
+    (mod 256)."""
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    row0 = bytes([1, 10, 20, 30, 100, 100, 100])
+    row1 = bytes([2, 30, 30, 30, (40 - 110) % 256, (60 - 120) % 256, (80 - 130) % 256])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(row0 + row1))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    want = np.array(
+        [[[10, 20, 30], [110, 120, 130]], [[40, 50, 60], [40, 60, 80]]],
+        dtype=np.uint8,
+    )
+    assert (got == want).all()
+    # and our encoder reproduces pixel-identical content for the same image
+    assert (decode_png(encode_png(want, filter_type=4)) == want).all()
+
+
 def test_decode_external_png_normalizes_to_rgb():
     """decode_external('png', ...) mirrors the reference's to-RGB load:
     RGBA drops alpha, gray replicates, RGB passes through."""

@@ -68,6 +68,33 @@ def test_query_matches_oracle(spark, ddb, name):
     )
 
 
+def test_gate_detects_wrong_values(spark, ddb):
+    """Negative control for the gate itself: a deliberately corrupted
+    result must FAIL the canonical compare — guards against a _canon /
+    column-ordering bug that would wave everything through."""
+    from mit_spark.queries import QUERIES
+
+    builder, sql = QUERIES["q1_pricing_summary"]
+    srows = [tuple(r) for r in builder(spark, SF_DIR).collect()]
+    cols = list(builder(spark, SF_DIR).columns)
+    drel = ddb.execute(sql)
+    dcols = [d[0] for d in drel.description]
+    drows = drel.fetchall()
+    assert _canon(srows, cols) == _canon(drows, dcols)  # sanity: green as-is
+    # corrupt one numeric cell by 1 ulp-ish step -> must mismatch
+    bad = [list(r) for r in srows]
+    for j, v in enumerate(bad[0]):
+        if isinstance(v, float):
+            bad[0][j] = v + 1.0
+            break
+        if isinstance(v, int):
+            bad[0][j] = v + 1
+            break
+    assert _canon([tuple(r) for r in bad], cols) != _canon(drows, dcols)
+    # dropping a row must mismatch too
+    assert _canon(srows[1:], cols) != _canon(drows, dcols)
+
+
 def test_dedup_clusters_idempotent_and_cache_clean(spark):
     """Repeated invocations must return identical labels (staged pair list)
     and leave NO DataFrame cache entries behind (the fixpoint loop caches
