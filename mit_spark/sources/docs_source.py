@@ -20,7 +20,7 @@ from mit_spark.schema import DOCS
 
 def load_doc_ids(spark: SparkSession, sf_dir: str, limit: int | None = None) -> DataFrame:
     ids = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        read_table(spark, sf_dir, "documents")
         .select(F.format_string("doc-%08d", F.col("doc_id")).alias("doc_id"))
     )
     if limit:
@@ -74,5 +74,35 @@ def load_docs(
     return ids.mapInPandas(gen, schema=DOCS)
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def read_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fmt: str | None = None,
+    schema=None,
+) -> DataFrame:
+    """Engine input seam for the relational tables. ``fmt=None`` autodetects
+    by file presence — parquet (the testdata default) first, then orc, json,
+    csv — so every registry query runs unchanged over any corpus format
+    Spark ships a vectorized reader for; pointing sf_dir at an ORC/JSON
+    export of the same tables is the only change (tests/test_source_formats
+    proves output equality across formats). Pass ``schema`` to pin types
+    for the schemaless formats (json/csv infer BIGINT/VARCHAR/DOUBLE, which
+    matches the testdata tables; columns like array<float> need the pin)."""
+    import os as _os
+
+    if fmt is None:
+        for cand in ("parquet", "orc", "json", "csv"):
+            if _os.path.exists(_os.path.join(sf_dir, f"{name}.{cand}")):
+                fmt = cand
+                break
+        else:
+            fmt = "parquet"  # let Spark raise its path error
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+        if schema is None:
+            reader = reader.option("inferSchema", "true")
+    return reader.format(fmt).load(f"{sf_dir}/{name}.{fmt}")
