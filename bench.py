@@ -25,6 +25,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_topk_revenue",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "user_sessions",
     "hourly_event_stats",
     "exact_dedup",

@@ -174,6 +174,86 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analogue — the canonical scan-dominated query: every
+    predicate (ship-date range, discount band, quantity cap) reaches the
+    parquet scan as a pushed filter, the aggregation is a single map-side-
+    combinable global sum, and the plan has ZERO shuffles beyond the final
+    single-row exchange. The baseline shape for 'is the scan path clean'."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey AS custkey, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+    GROUP BY c.c_custkey, n.n_name
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analogue — lost-revenue ranking over returned items: the
+    returnflag + order-date predicates push to both fact scans, the
+    customer<-orders<-lineitem chain shuffles on its keys, the nation dim
+    broadcasts, and the top-20 is a TakeOrdered over the aggregated
+    (custkey, nation) rows — never a global sort of the join output."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    n = F.broadcast(read_table(spark, sf_dir, "nation"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("c_custkey").alias("custkey"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(20)
+    )
+
+
+@register(
     "top_customer_per_nation",
     """
     SELECT nation, custkey, balance FROM (
