@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "media_channel_stats",
     # round 4: new operators + previously-unbenched round-3 families
     "substring_dedup_runs",
+    "substring_dedup_clean",
     "cluster_balanced_sample",
     "media_channel_stats_png",
     "semantic_mixture_weights",

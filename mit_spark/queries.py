@@ -3284,6 +3284,129 @@ def substring_dedup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "substring_dedup_clean",
+    f"""
+    WITH words AS (
+      SELECT doc_id, generate_subscripts(split(trim(text), ' '), 1) AS pos,
+             unnest(split(trim(text), ' ')) AS w
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, (pos - 1) // 8 AS chunk_no,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash,
+             string_agg(w, ' ' ORDER BY pos) AS chunk_text,
+             count(*) AS n_tok
+      FROM words GROUP BY doc_id, (pos - 1) // 8
+    ), df AS (
+      SELECT chunk_hash, count(DISTINCT doc_id) AS doc_freq
+      FROM chunks GROUP BY chunk_hash
+    ), flagged AS (
+      SELECT c.doc_id, c.chunk_no, c.chunk_text, c.n_tok,
+             CASE WHEN df.doc_freq > 1 THEN 1 ELSE 0 END AS is_dup
+      FROM chunks c JOIN df USING (chunk_hash)
+    ), isl AS (
+      SELECT doc_id, chunk_no, chunk_text, n_tok, is_dup,
+             chunk_no - row_number() OVER (PARTITION BY doc_id, is_dup
+                                           ORDER BY chunk_no) AS grp
+      FROM flagged
+    ), runs AS (
+      SELECT doc_id, chunk_no, chunk_text, n_tok, is_dup,
+             CASE WHEN is_dup = 1 THEN
+               sum(n_tok) OVER (PARTITION BY doc_id, is_dup, grp)
+             ELSE 0 END AS run_tokens
+      FROM isl
+    ), kept AS (
+      SELECT doc_id, chunk_no, chunk_text, n_tok
+      FROM runs
+      WHERE is_dup = 0 OR run_tokens < {_SUBSTR_MIN_RUN_TOKENS}
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           COALESCE(k.cleaned_digest, md5('')) AS cleaned_digest
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN (
+      SELECT doc_id, sum(n_tok) AS kept_tokens,
+             md5(string_agg(chunk_text, ' ' ORDER BY chunk_no)) AS cleaned_digest
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of substring dedup (substring_dedup_runs detects;
+    this materializes the cleaned corpus): drop every chunk inside a
+    >=24-token cross-document duplicate run, keep everything else in
+    order, and emit per doc the kept token count plus the md5 of the
+    re-assembled cleaned text — the digest makes the oracle verify the
+    EXACT cleaned string, not just its length.
+
+    Caveat shared with the detector: run boundaries are 8-word-chunk
+    granular (Lee et al.'s suffix-array cut is token-exact; the trade is
+    documented in substring_dedup_runs). Scale shape identical: hash-keyed
+    doc-frequency shuffle + join, one per-doc window over chunk sequences,
+    one final per-doc aggregate — no all-pairs, no suffix array. A doc
+    that is entirely duplicate text keeps 0 tokens and digests the empty
+    string (COALESCE on both engines)."""
+    d = read_table(spark, sf_dir, "documents")
+    chunk_arr = F.expr(
+        "transform(sequence(0, (size(ws) - 1) div 8),"
+        " c -> struct(c AS chunk_no,"
+        "             concat_ws(' ', slice(ws, c * 8 + 1, 8)) AS chunk_text,"
+        "             least(8, size(ws) - c * 8) AS n_tok))"
+    )
+    chunks = (
+        d.select("doc_id", F.split(F.trim("text"), " ").alias("ws"))
+        .select("doc_id", F.explode(chunk_arr).alias("c"))
+        .select(
+            "doc_id",
+            "c.chunk_no",
+            "c.chunk_text",
+            F.md5("c.chunk_text").alias("chunk_hash"),
+            "c.n_tok",
+        )
+    )
+    dfreq = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    flagged = chunks.join(dfreq, "chunk_hash").withColumn(
+        "is_dup", (F.col("doc_freq") > 1).cast("int")
+    )
+    w_dup = Window.partitionBy("doc_id", "is_dup").orderBy("chunk_no")
+    isl = flagged.withColumn(
+        "grp", F.col("chunk_no") - F.row_number().over(w_dup)
+    )
+    run_w = Window.partitionBy("doc_id", "is_dup", "grp")
+    runs = isl.withColumn(
+        "run_tokens",
+        F.when(F.col("is_dup") == 1, F.sum("n_tok").over(run_w)).otherwise(F.lit(0)),
+    )
+    kept = runs.filter(
+        (F.col("is_dup") == 0) | (F.col("run_tokens") < _SUBSTR_MIN_RUN_TOKENS)
+    )
+    assembled = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("chunk_no", "chunk_text"))),
+            lambda s: s["chunk_text"],
+        ),
+        " ",
+    )
+    out = kept.groupBy("doc_id").agg(
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("kept_tokens"),
+        F.md5(assembled).alias("cleaned_digest"),
+    )
+    # docs whose EVERY chunk was removed vanish from `kept`: reinstate them
+    # with 0 tokens + empty-string digest, matching the oracle's COALESCE
+    empty = (
+        d.select("doc_id")
+        .join(out.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(0).cast("long").alias("kept_tokens"),
+            F.md5(F.lit("")).alias("cleaned_digest"),
+        )
+    )
+    return out.unionByName(empty).orderBy("doc_id")
+
+
+@register(
     "corpus_topk_ngrams",
     """
     WITH words AS (
