@@ -3042,12 +3042,14 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs this is a shuffle join on a 16-byte digest — broadcast is neither
     possible nor needed; a corpus bucketed on content_hash makes it
     shuffle-free on the big side (SURVEY §7.8 seam).
-    Stage 2 (near): survivors only are shingled; LSH band join restricted to
+    Stage 2 (near): the batch is shingled; LSH band join restricted to
     batch↔corpus (probe side is the small batch, never corpus×corpus), then
     exact shingle-set Jaccard >= 0.5 verify on candidates — identical
     recall/precision split as minhash_verified_dups (queries.py).
-    Priority exact > near > kept, so skipping stage-2 for exact dups is a
-    pure optimization with no output change.
+    Priority exact > near > kept, so whether stage-2 also sees exact dups
+    is output-invariant: a high-re-post crawl would anti-join them out
+    first; here the anti-join's serial barrier costs more than the spared
+    shingling (A/B'd at sf0.1), so both stages run as independent chains.
 
     The synthetic batch is STAGED to parquet once per sf_dir (same
     idempotent-marker discipline as streaming_drain): in production the
@@ -3057,6 +3059,18 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.trim("text"), " ").alias("words")
     )
+    # spread the corpus BEFORE the md5/shingle projections: at bench scale
+    # the documents parquet is one small file, so the scan yields ~4 input
+    # splits and the CPU-bound digest pass runs 4-wide on 32 cores (this
+    # was most of the r4 bench regression). The shuffled payload is the
+    # raw text (MBs here); at web scale the scan already yields thousands
+    # of splits and this repartition is dropped — same remedy load_docs
+    # applies before span generation (docs_source.py:71-72). Hash on
+    # doc_id, not round-robin: the exchange feeds BOTH the content-hash
+    # pass and the shingle pass, and AQE reuses a hash exchange across the
+    # two subtrees where a round-robin one was observed to materialize
+    # twice.
+    d = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     batch = _incdedup_batch(spark, sf_dir, d)
     content = F.md5(F.concat_ws(" ", "words"))
     corpus_hashes = d.select(content.alias("h")).distinct()
@@ -3066,9 +3080,15 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("is_exact", F.lit(1))
     )
-    # stage 2 inputs: batch docs not already exact-dup + the whole corpus
-    probe = batch.join(exact.select("doc_id"), "doc_id", "left_anti")
-    all_docs = probe.withColumn("is_batch", F.lit(1)).unionByName(
+    # stage 2 runs over ALL batch docs, not just non-exact survivors: the
+    # final status gives exact > near priority, so shingling exact dups too
+    # cannot change the output — and dropping the batch->exact anti-join
+    # here removes the SERIAL dependency exact -> probe -> digest, letting
+    # the exact pass and the band pipeline schedule as independent stage
+    # chains (an A/B at sf0.1 priced the barrier above the spared
+    # shingling; at a 30%-re-post crawl the anti-join earns its barrier
+    # back and this is a one-line flip)
+    all_docs = batch.withColumn("is_batch", F.lit(1)).unionByName(
         d.withColumn("is_batch", F.lit(0))
     )
     # 3-gram shingle digests built ARRAY-SIDE in one codegen projection —
@@ -3076,8 +3096,13 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the expensive side (VERDICT r3 #5; the cross_doc_chunk_dedup lesson):
     # slice(words, i, 3) over sequence(1, n-2), md5 per shingle, and the
     # 6 minhash lanes as array_min over transform — the signature never
-    # leaves the projection, so the only shuffles left are the band join
-    # and the verify join
+    # leaves the projection. The distinct shingle set rides ALONG the band
+    # explode into the band join, so the exact-Jaccard verify is an inline
+    # FILTER on the band join itself: the r4 shape re-derived the sets in a
+    # second corpus-wide digest pass and re-joined them twice (the 2.9 ->
+    # 4.1 s bench regression); this shape's one trade is shuffling each
+    # set bands-per-sig (3) times instead of once — a small constant —
+    # and the band join is the ONLY corpus-wide shuffle left
     n_words = F.size("words")
     digests = F.when(
         n_words >= 3,  # sequence(1, n-2) would DESCEND for n < 3
@@ -3092,6 +3117,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = docs_dg.select(
         "doc_id",
         "is_batch",
+        F.array_distinct("dg").alias("ds"),
         *[
             F.array_min(
                 F.transform("dg", lambda d: F.substring(d, 5 * j + 1, 5))
@@ -3102,6 +3128,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id",
         "is_batch",
+        "ds",
         F.explode(
             F.array(
                 F.concat("mh0", "mh1"), F.concat("mh2", "mh3"), F.concat("mh4", "mh5")
@@ -3109,19 +3136,15 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     )
     a = bands.filter(F.col("is_batch") == 1).select(
-        F.col("doc_id").alias("bid"), "band"
+        F.col("doc_id").alias("bid"), "band", F.col("ds").alias("ds_x")
     )
     b = bands.filter(F.col("is_batch") == 0).select(
-        F.col("doc_id").alias("cid"), "band"
+        F.col("doc_id").alias("cid"), "band", F.col("ds").alias("ds_y")
     )
-    cand = a.join(b, "band").select("bid", "cid").distinct()
-    sets = docs_dg.select("doc_id", F.array_distinct("dg").alias("ds"))
-    x, y = sets.alias("x"), sets.alias("y")
-    inter = F.size(F.array_intersect(F.col("x.ds"), F.col("y.ds")))
-    union = F.size(F.col("x.ds")) + F.size(F.col("y.ds")) - inter
+    inter = F.size(F.array_intersect("ds_x", "ds_y"))
+    union = F.size("ds_x") + F.size("ds_y") - inter
     near = (
-        cand.join(x, cand.bid == F.col("x.doc_id"))
-        .join(y, cand.cid == F.col("y.doc_id"))
+        a.join(b, "band")
         .filter(inter / union >= 0.5)
         .select(F.col("bid").alias("doc_id"))
         .distinct()
