@@ -63,3 +63,44 @@ def test_bucketby_elides_big_side_shuffle(spark, warehouse):
     got = sorted(r["doc_id"] for r in j_b.collect())
     want = sorted(r["doc_id"] for r in j_p.collect())
     assert got == want and len(got) > 0
+
+
+def test_bucketby_elides_corpus_shuffle_in_stage1_shape(spark, warehouse):
+    """incremental_dedup stage 1 verbatim: the BATCH is the left side of a
+    LEFT SEMI join and the corpus is the right (big) side. With the corpus
+    bucketed on the join key, only the batch side exchanges — the corpus's
+    bucket layout feeds the sort-merge join directly, which is the claim
+    the operator docstring makes for the 10^12-doc case."""
+    from pyspark.sql import functions as F
+
+    from mit_spark.sources.docs_source import read_table
+
+    SF = "/root/testdata/sf0.001"
+    docs = read_table(spark, SF, "documents").select(
+        "doc_id", F.md5(F.trim("text")).alias("content_hash")
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "content_hash"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {warehouse}.corpus_bucketed2")
+    (
+        docs.write.bucketBy(8, "content_hash")
+        .sortBy("content_hash")
+        .saveAsTable(f"{warehouse}.corpus_bucketed2")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        corpus_hashes = spark.table(f"{warehouse}.corpus_bucketed2").select(
+            "content_hash"
+        )
+        j = batch.join(corpus_hashes, "content_hash", "left_semi")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    # exactly ONE exchange (the small batch side); the corpus side reads
+    # its buckets shuffle-free
+    assert _exchanges_below_join(plan) == 1, plan[:800]
+    assert sorted(r["doc_id"] for r in j.collect())  # non-empty, runs
