@@ -3287,23 +3287,66 @@ def _substr_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), chunks AS (
       SELECT doc_id, (pos - 1) // 8 AS chunk_no,
+             string_agg(w, ' ' ORDER BY pos) AS chunk_text,
              md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash,
              count(*) AS n_tok
       FROM words GROUP BY doc_id, (pos - 1) // 8
     ), df AS (
       SELECT chunk_hash, count(DISTINCT doc_id) AS doc_freq
       FROM chunks GROUP BY chunk_hash
+    ), fc AS (
+      SELECT c.*, df.doc_freq FROM chunks c JOIN df USING (chunk_hash)
+    ), nbr AS (
+      SELECT doc_id, chunk_no, chunk_hash,
+             split(lead(chunk_text) OVER win, ' ') AS next_w,
+             split(lag(chunk_text) OVER win, ' ') AS prev_w
+      FROM fc WINDOW win AS (PARTITION BY doc_id ORDER BY chunk_no)
+    ), ks AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k),
+    cont AS (
+      SELECT doc_id, chunk_no, k,
+             md5(chunk_hash || ':' ||
+                 array_to_string(list_slice(next_w, 1, k), ' ')) AS sig
+      FROM nbr, ks WHERE next_w IS NOT NULL AND len(next_w) >= k
+    ), pre AS (
+      SELECT doc_id, chunk_no, k,
+             md5(array_to_string(
+                   list_slice(prev_w, len(prev_w) - k + 1, len(prev_w)), ' ')
+                 || ':' || chunk_hash) AS sig
+      FROM nbr, ks WHERE prev_w IS NOT NULL AND len(prev_w) >= k
+    ), shared_cont AS (
+      SELECT sig FROM cont GROUP BY sig HAVING count(DISTINCT doc_id) >= 2
+    ), shared_pre AS (
+      SELECT sig FROM pre GROUP BY sig HAVING count(DISTINCT doc_id) >= 2
     ), dup AS (
-      SELECT c.doc_id, c.chunk_no, c.n_tok,
-             c.chunk_no - row_number()
-               OVER (PARTITION BY c.doc_id ORDER BY c.chunk_no) AS grp
-      FROM chunks c JOIN df USING (chunk_hash) WHERE df.doc_freq > 1
+      SELECT doc_id, chunk_no, n_tok,
+             chunk_no - row_number()
+               OVER (PARTITION BY doc_id ORDER BY chunk_no) AS grp
+      FROM fc WHERE doc_freq > 1
+    ), runs AS (
+      SELECT doc_id, grp, min(chunk_no) AS s_chunk, max(chunk_no) AS e_chunk,
+             count(*) AS n_chunks, sum(n_tok) AS chunk_tokens
+      FROM dup GROUP BY doc_id, grp
+      HAVING sum(n_tok) >= {_SUBSTR_MIN_RUN_TOKENS}
+    ), ext_e AS (
+      SELECT r.doc_id, r.grp, max(c.k) AS e
+      FROM runs r JOIN cont c ON r.doc_id = c.doc_id AND r.e_chunk = c.chunk_no
+                  JOIN shared_cont s USING (sig)
+      GROUP BY r.doc_id, r.grp
+    ), ext_s AS (
+      SELECT r.doc_id, r.grp, max(p.k) AS e
+      FROM runs r JOIN pre p ON r.doc_id = p.doc_id AND r.s_chunk = p.chunk_no
+                  JOIN shared_pre s USING (sig)
+      GROUP BY r.doc_id, r.grp
     )
-    SELECT doc_id, (min(chunk_no) * 8)::BIGINT AS start_tok,
-           count(*)::BIGINT AS n_chunks, sum(n_tok)::BIGINT AS run_tokens
-    FROM dup GROUP BY doc_id, grp
-    HAVING sum(n_tok) >= {_SUBSTR_MIN_RUN_TOKENS}
-    ORDER BY doc_id, start_tok
+    SELECT r.doc_id,
+           (r.s_chunk * 8 - COALESCE(xs.e, 0))::BIGINT AS start_tok,
+           r.n_chunks::BIGINT AS n_chunks,
+           (r.chunk_tokens + COALESCE(xs.e, 0) + COALESCE(xe.e, 0))::BIGINT
+             AS run_tokens
+    FROM runs r
+    LEFT JOIN ext_s xs ON r.doc_id = xs.doc_id AND r.grp = xs.grp
+    LEFT JOIN ext_e xe ON r.doc_id = xe.doc_id AND r.grp = xe.grp
+    ORDER BY r.doc_id, start_tok
     """,
 )
 def substring_dedup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3311,33 +3354,132 @@ def substring_dedup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     al., "Deduplicating Training Data Makes Language Models Better" — exact
     substring dedup catches long verbatim passages inside otherwise-distinct
     docs that doc-level minhash and single-chunk hashing both miss).
-    Chunk-granularity formulation: split docs into consecutive 8-word
-    chunks, mark chunks whose hash appears in >=2 DISTINCT docs, then report
-    every MAXIMAL RUN of consecutive shared chunks totalling >=24 tokens as
-    (doc_id, start_tok, n_chunks, run_tokens) — the byte ranges a removal
-    pass would cut.
+    Formulation: split docs into consecutive 8-word chunks, mark chunks
+    whose hash appears in >=2 DISTINCT docs, select every MAXIMAL RUN of
+    consecutive shared chunks totalling >=24 tokens, then refine each
+    run's boundaries TOKEN-EXACT by anchored extension: the run extends k
+    (1..7) tokens past its last chunk iff >=2 distinct docs share
+    (last-chunk hash || ':' || k-token continuation) — i.e. some other
+    document contains the run's final chunk followed by the same k tokens,
+    which by Lee et al.'s definition makes run+k a duplicated substring —
+    and symmetrically k tokens before the first chunk via (k-token suffix
+    of the preceding chunk || ':' || first-chunk hash). k<=7 is complete:
+    a shared 8-token continuation would make the neighbor chunk itself
+    duplicated and hence part of the run. Output (doc_id, start_tok,
+    n_chunks, run_tokens) with token-exact start_tok/run_tokens; the >=24
+    length gate stays at chunk granularity (selection), extensions refine
+    the reported cut only.
 
-    Scale shape: chunking is array-side codegen (no posexplode+window on
-    raw tokens); the doc-frequency aggregate and the chunks<-freq join are
-    both keyed on the 16-byte chunk hash and MATERIALIZED ONCE per corpus
-    in the staged table this reads (_substr_chunks — shared with
-    substring_dedup_clean); run detection is the gaps-and-islands window
-    over each doc's DUP CHUNKS ONLY (|dup chunks| << corpus tokens). No
-    all-pairs stage, no suffix array — the classic O(n log n) suffix
-    automaton is replaced by two hash-keyed shuffles plus one bounded
-    window, the trade being 8-word granularity on run boundaries."""
-    dup = _substr_chunks(spark, sf_dir).filter(F.col("doc_freq") > 1)
+    Scale shape: chunk + doc-frequency live in the staged table this reads
+    (_substr_chunks — shared with substring_dedup_clean); run detection is
+    the gaps-and-islands window over each doc's DUP CHUNKS ONLY; boundary
+    signatures are one more per-doc window (lead/lag chunk text) + a
+    7-wide array-side explode, and their doc-frequency is the same
+    hash-keyed combinable groupBy as chunk frequency. The extension joins
+    touch only run ENDPOINTS (two rows per run). No all-pairs stage, no
+    suffix array — the O(n log n) suffix automaton is replaced by
+    hash-keyed shuffles plus bounded windows, now without the 8-word
+    boundary granularity trade."""
+    f = _substr_chunks(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy("chunk_no")
+    nbr = f.select(
+        "doc_id",
+        "chunk_no",
+        "chunk_hash",
+        F.split(F.lead("chunk_text").over(w), " ").alias("next_w"),
+        F.split(F.lag("chunk_text").over(w), " ").alias("prev_w"),
+    )
+    cont = (
+        nbr.filter(F.col("next_w").isNotNull())
+        .select(
+            "doc_id",
+            "chunk_no",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, least(7, size(next_w))), k -> struct("
+                    "  k AS k,"
+                    "  md5(concat(chunk_hash, ':', concat_ws(' ', slice(next_w, 1, k)))) AS sig))"
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "chunk_no", "e.k", "e.sig")
+    )
+    pre = (
+        nbr.filter(F.col("prev_w").isNotNull())
+        .select(
+            "doc_id",
+            "chunk_no",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, least(7, size(prev_w))), k -> struct("
+                    "  k AS k,"
+                    "  md5(concat(concat_ws(' ', slice(prev_w, -k, k)), ':', chunk_hash)) AS sig))"
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "chunk_no", "e.k", "e.sig")
+    )
+    shared_cont = (
+        cont.groupBy("sig")
+        .agg(F.countDistinct("doc_id").alias("nf"))
+        .filter(F.col("nf") >= 2)
+        .select("sig")
+    )
+    shared_pre = (
+        pre.groupBy("sig")
+        .agg(F.countDistinct("doc_id").alias("nf"))
+        .filter(F.col("nf") >= 2)
+        .select("sig")
+    )
+    dup = f.filter(F.col("doc_freq") > 1)
     isl = dup.withColumn("grp", F.col("chunk_no") - F.row_number().over(w))
-    return (
+    runs = (
         isl.groupBy("doc_id", "grp")
         .agg(
-            (F.min("chunk_no") * 8).cast("long").alias("start_tok"),
+            F.min("chunk_no").alias("s_chunk"),
+            F.max("chunk_no").alias("e_chunk"),
             F.count(F.lit(1)).cast("long").alias("n_chunks"),
-            F.sum("n_tok").cast("long").alias("run_tokens"),
+            F.sum("n_tok").alias("chunk_tokens"),
         )
-        .filter(F.col("run_tokens") >= _SUBSTR_MIN_RUN_TOKENS)
-        .select("doc_id", "start_tok", "n_chunks", "run_tokens")
+        .filter(F.col("chunk_tokens") >= _SUBSTR_MIN_RUN_TOKENS)
+    )
+    ext_e = (
+        runs.select("doc_id", "grp", "e_chunk")
+        .join(
+            cont,
+            (runs.doc_id == cont.doc_id) & (runs.e_chunk == cont.chunk_no),
+        )
+        .join(shared_cont, "sig")
+        .groupBy(runs.doc_id.alias("doc_id"), "grp")
+        .agg(F.max("k").alias("ee"))
+    )
+    ext_s = (
+        runs.select("doc_id", "grp", "s_chunk")
+        .join(
+            pre,
+            (runs.doc_id == pre.doc_id) & (runs.s_chunk == pre.chunk_no),
+        )
+        .join(shared_pre, "sig")
+        .groupBy(runs.doc_id.alias("doc_id"), "grp")
+        .agg(F.max("k").alias("es"))
+    )
+    return (
+        runs.join(ext_s, ["doc_id", "grp"], "left")
+        .join(ext_e, ["doc_id", "grp"], "left")
+        .select(
+            "doc_id",
+            (F.col("s_chunk") * 8 - F.coalesce("es", F.lit(0)))
+            .cast("long")
+            .alias("start_tok"),
+            "n_chunks",
+            (
+                F.col("chunk_tokens")
+                + F.coalesce("es", F.lit(0))
+                + F.coalesce("ee", F.lit(0))
+            )
+            .cast("long")
+            .alias("run_tokens"),
+        )
         .orderBy("doc_id", "start_tok")
     )
 
@@ -3397,9 +3539,11 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-assembled cleaned text — the digest makes the oracle verify the
     EXACT cleaned string, not just its length.
 
-    Caveat shared with the detector: run boundaries are 8-word-chunk
-    granular (Lee et al.'s suffix-array cut is token-exact; the trade is
-    documented in substring_dedup_runs). Scale shape identical: the
+    Caveat: REMOVAL stays 8-word-chunk granular — whole chunks are kept or
+    dropped (the detector, substring_dedup_runs, now reports token-exact
+    boundaries via anchored extension; cutting mid-chunk here would also
+    need the re-assembly to splice partial chunk text, a fidelity the
+    digest oracle would hide more than verify). Scale shape identical: the
     hash-keyed doc-frequency shuffle + join live in the staged table this
     reads (_substr_chunks — shared with substring_dedup_runs), leaving one
     per-doc window over chunk sequences and one final per-doc aggregate —
