@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "bloom_dedup_screen",
     "media_frame_census",
     "streaming_stateful_dedup",
+    # round 5: the real-JPEG codec path
+    "media_channel_stats_jpeg",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

@@ -7,13 +7,15 @@ The reference decodes PNG/JPEG from disk (``RawImage::new``,
 crates/interface/src/image/mod.rs:155-177). The engine carries multi-frame
 media through a deterministic raw container (``MITB``: magic + kind + dims
 + frame count + packed u8 payload); the real-codec seam
-(`decode_external`) decodes PNG — the reference's native fixture format —
-via the pure-stdlib codec in operators/png_codec.py (no PIL), while
-JPEG/video remain env-gated behind PIL/cv2/av imports with a clearly
-marked ``NotImplementedError`` otherwise. Everything Spark-side —
-schemas, Arrow batch shape, partition strategy, UDF signatures — is
-codec-agnostic; `media_table_png` + `channel_stats(frames_of=_frames_png)`
-run the PNG path end-to-end under the SQL oracle gate.
+(`decode_external`) decodes PNG and baseline JPEG — the two formats the
+reference's ``image`` crate reads for its fixtures — via the pure-stdlib
+codecs in operators/png_codec.py and operators/jpeg_codec.py (no PIL).
+JPEG streams outside the baseline 4:4:4 subset fall back to PIL when
+present; video stays env-gated behind cv2/av with a clearly marked
+``NotImplementedError``. Everything Spark-side — schemas, Arrow batch
+shape, partition strategy, UDF signatures — is codec-agnostic;
+`media_table_png`/`media_table_jpeg` + `channel_stats(frames_of=...)` run
+both real-codec paths end-to-end under the SQL oracle gate.
 """
 
 from __future__ import annotations
@@ -121,18 +123,27 @@ def decode_external(fmt: str, data: bytes) -> np.ndarray:
             return arr[:, :, :3].copy()
         return np.repeat(arr[:, :, :1], 3, axis=2)
     if fmt == "jpeg":
-        try:  # pragma: no cover - libs absent in this container
-            import io
+        from mit_spark.operators.jpeg_codec import decode_jpeg
 
-            from PIL import Image
+        try:
+            arr = decode_jpeg(data)
+        except ValueError as err:
+            # outside the stdlib codec's baseline 4:4:4 subset (progressive,
+            # subsampled, restart intervals): fall back to PIL if present
+            try:  # pragma: no cover - PIL absent in this container
+                import io
 
+                from PIL import Image
+            except ImportError:
+                raise err from None
             return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-        except ImportError:
-            pass
+        if arr.ndim == 2:
+            return np.repeat(arr[:, :, None], 3, axis=2)
+        return arr
     raise NotImplementedError(
         f"no codec for {fmt!r} in this environment (PIL/cv2/av absent); "
-        "PNG decodes via the stdlib codec, other formats use the "
-        "deterministic MITB container in tests/bench"
+        "PNG/baseline-JPEG decode via the stdlib codecs, other formats use "
+        "the deterministic MITB container in tests/bench"
     )
 
 
@@ -254,6 +265,72 @@ def media_table_png(spark: SparkSession, docs_df: DataFrame) -> DataFrame:
     return spans.mapInPandas(attach, schema=MEDIA)
 
 
+def jpeg_tile_image(media_ref: str, width: int, height: int) -> np.ndarray:
+    """Deterministic 8x8-tiled EVEN-gray image for a media_ref: tile (bx,by)
+    holds 2 * (first-4-md5-bytes('jp:<ref>:<bx>:<by>') % 128). Dimensions
+    are the ref's page size rounded DOWN to 8-multiples (whole MCUs). Flat
+    even-gray DC-only blocks survive the baseline JPEG encode->decode
+    round trip BIT-EXACT (jpeg_codec docstring), so the SQL oracle can
+    state the decoded histogram in closed form from the same md5
+    arithmetic — while the payload still drives real Huffman coding and
+    differential DC prediction across tiles."""
+    import hashlib
+
+    w8, h8 = width // 8 * 8, height // 8 * 8
+    tiles = np.empty((h8 // 8, w8 // 8), dtype=np.uint8)
+    for by in range(h8 // 8):
+        for bx in range(w8 // 8):
+            hv = int(
+                hashlib.md5(f"jp:{media_ref}:{bx}:{by}".encode()).hexdigest()[:8], 16
+            )
+            tiles[by, bx] = 2 * (hv % 128)
+    return np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+
+
+def media_table_jpeg(spark: SparkSession, docs_df: DataFrame) -> DataFrame:
+    """Image spans as REAL baseline JPEG payloads through the stdlib codec
+    (operators/jpeg_codec.py): same plumbing and schema as media_table_png,
+    but content is a grayscale JPEG of the ref's deterministic tile image
+    (jpeg_tile_image) at the unscaled Annex-K tables — the construction
+    whose decode is bit-exact, so the downstream channel stats stay under
+    a closed-form SQL value oracle. Video refs are excluded (single-image
+    format), as are refs smaller than one MCU."""
+    from mit_spark.operators.jpeg_codec import encode_jpeg
+
+    spans = _media_spans(spark, docs_df)
+
+    def attach(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in _chunks(batches):
+            rows = []
+            for doc, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                _b, m = synth_media_bytes(str(ref))
+                if m["n_frames"] != 1:
+                    continue
+                img = jpeg_tile_image(str(ref), m["width"], m["height"])
+                if img.size == 0:
+                    continue
+                rows.append(
+                    (
+                        doc,
+                        ref,
+                        encode_jpeg(img, quality=50),
+                        {
+                            **m,
+                            "mime": "image/jpeg",
+                            "width": int(img.shape[1]),
+                            "height": int(img.shape[0]),
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "content", "meta"]
+            )
+
+    return spans.mapInPandas(attach, schema=MEDIA)
+
+
 def frame_sample(media_df: DataFrame, every_k: int = 2) -> DataFrame:
     """Video frame sampling: one output row per kept frame (indices
     0, k, 2k, ...); images pass through as frame 0. The Spark analogue of
@@ -311,6 +388,12 @@ def _frames_png(content: bytes) -> np.ndarray:
     from mit_spark.operators.multimodal import decode_external
 
     return decode_external("png", content)[None]
+
+
+def _frames_jpeg(content: bytes) -> np.ndarray:
+    from mit_spark.operators.multimodal import decode_external
+
+    return decode_external("jpeg", content)[None]
 
 
 def channel_stats(media_df: DataFrame, *, frames_of=_frames_mitb) -> DataFrame:

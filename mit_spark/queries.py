@@ -1873,6 +1873,85 @@ def media_channel_stats_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_stats_jpeg_sql() -> str:
+    """Closed-form oracle for the REAL-JPEG decode path: the payload is the
+    deterministic 8x8-tile image (multimodal.jpeg_tile_image — tile value
+    2*(md5('jp:<ref>:<bx>:<by>')[:4] % 128)), whose baseline-JPEG decode is
+    BIT-EXACT (DC-only blocks, even grays, unscaled Annex-K table; see
+    jpeg_codec docstring). Tiles have equal pixel mass, so per-ref
+    mean/std over pixels equal mean/std over tile values — both plain
+    integer-ratio moments DuckDB states from the same md5 arithmetic. A
+    wrong Huffman table, DC prediction, dequant, IDCT scale, or block
+    raster order shifts decoded pixels and flips the hash."""
+    h = _h_sql
+    return (
+        _flagship_expected_body()
+        + f"""
+    , refdims AS (
+      SELECT doc, off, mref, any_value(pw) AS pw, any_value(ph) AS ph
+      FROM rshrunk WHERE doc < 'doc-00000120' GROUP BY doc, off, mref
+    ), jrefs AS (
+      SELECT doc, off, mref, (pw // 8) * 8 AS w8, (ph // 8) * 8 AS h8
+      FROM refdims
+      WHERE (ascii(substr(mref,16,1)) + 256*ascii(substr(mref,17,1))) % 7 <> 0
+        AND pw >= 8 AND ph >= 8
+    ), jx AS (
+      SELECT doc, off, mref, h8, unnest(range(w8 // 8)) AS bx FROM jrefs
+    ), jxy AS (
+      SELECT doc, off, mref, bx, unnest(range(h8 // 8)) AS by FROM jx
+    ), jtiles AS (
+      SELECT doc, off, mref,
+             2 * ({h("'jp:'||mref||':'||bx||':'||by")} % 128) AS v
+      FROM jxy
+    ), jstats AS (
+      SELECT doc, off, mref,
+             round(avg(v * 1.0), 4) AS mean,
+             round(sqrt(greatest(avg(v*v*1.0) - avg(v*1.0)*avg(v*1.0), 0.0)), 4)
+               AS std
+      FROM jtiles GROUP BY doc, off, mref
+    )
+    SELECT c.ch AS channel, count(*)::BIGINT AS n_media,
+           round(avg(mean), 3) AS avg_mean, round(avg(std), 3) AS avg_std,
+           count(*)::BIGINT AS total_frames
+    FROM jstats CROSS JOIN (SELECT unnest([0,1,2]) AS ch) c
+    GROUP BY c.ch ORDER BY channel
+    """
+    )
+
+
+@register("media_channel_stats_jpeg", _media_stats_jpeg_sql())
+def media_channel_stats_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_channel_stats over REAL baseline-JPEG payloads (VERDICT r4 #4
+    closes the JPEG half of the codec seam): image spans carry grayscale
+    JPEGs of the deterministic tile image, encoded AND decoded by the
+    stdlib codec (operators/jpeg_codec.py — DCT, Annex-K quantization,
+    canonical Huffman, byte stuffing), flowing through the same
+    decode_external seam and Arrow-batched stats plan as the PNG/MITB
+    variants. The payload construction keeps the decode bit-exact (see
+    _media_stats_jpeg_sql), so this entry is VALUE-gated end-to-end; the
+    codec's lossy/AC paths are golden-tested in tests/test_jpeg_codec.py.
+    Videos and sub-MCU pages are excluded on both sides."""
+    from mit_spark.operators.multimodal import (
+        _frames_jpeg,
+        channel_stats,
+        media_table_jpeg,
+    )
+    from mit_spark.sources.docs_source import load_docs
+
+    docs = load_docs(spark, sf_dir, max_doc_no=120)
+    stats = channel_stats(media_table_jpeg(spark, docs), frames_of=_frames_jpeg)
+    return (
+        stats.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg("mean"), 3).alias("avg_mean"),
+            F.round(F.avg("std"), 3).alias("avg_std"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("channel")
+    )
+
+
 # ---------------------------------------------------------------------------
 # idempotent staging (shared by the streaming entries and the dedup pair
 # cache): a deterministic per-(sf_dir, tag) scratch dir behind a _STAGED
