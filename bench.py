@@ -68,8 +68,9 @@ BENCH_QUERIES = [
     "bloom_dedup_screen",
     "media_frame_census",
     "streaming_stateful_dedup",
-    # round 5: the real-JPEG codec path
+    # round 5: the real-JPEG and real-WAV codec paths
     "media_channel_stats_jpeg",
+    "audio_waveform_stats",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

@@ -331,6 +331,134 @@ def media_table_jpeg(spark: SparkSession, docs_df: DataFrame) -> DataFrame:
     return spans.mapInPandas(attach, schema=MEDIA)
 
 
+AUDIO = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("media_ref", StringType(), False),
+        StructField("content", BinaryType(), False),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType(), False),
+                    StructField("rate", IntegerType(), False),
+                    StructField("n_samples", IntegerType(), False),
+                    StructField("channels", IntegerType(), False),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+WAVEFORM_STATS = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("half_period", IntegerType(), False),
+        StructField("rms", IntegerType(), False),
+        StructField("peak", IntegerType(), False),
+        StructField("zero_crossings", IntegerType(), False),
+    ]
+)
+
+
+def synth_audio_samples(media_ref: str) -> np.ndarray:
+    """Deterministic mono PCM for a media_ref (the page's narration track):
+    a square wave with md5-derived amplitude/period/length —
+      a    = 256 * (1 + h('au:<ref>:amp') % 100)     (int16-safe)
+      half = 8   * (1 + h('au:<ref>:per') % 16)      (half-period, samples)
+      n    = 2*half * (50 + h('au:<ref>:len') % 50)  (whole periods)
+    so RMS == peak == a exactly, and sign flips land every `half` samples
+    (n/half - 1 zero crossings) — the closed forms the SQL oracle states
+    from the same md5 arithmetic (queries._h_sql twin)."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    a = 256 * (1 + h(f"au:{media_ref}:amp") % 100)
+    half = 8 * (1 + h(f"au:{media_ref}:per") % 16)
+    n = 2 * half * (50 + h(f"au:{media_ref}:len") % 50)
+    i = np.arange(n)
+    return np.where((i // half) % 2 == 0, a, -a).astype(np.int16)
+
+
+def audio_table(spark: SparkSession, docs_df: DataFrame) -> DataFrame:
+    """docs -> one AUDIO row per media span, content = REAL WAV bytes
+    (operators/wav_codec.py). Same pre-UDF skew spread and Arrow-chunked
+    mapInPandas plumbing as the image tables — the audio column is just
+    another opaque binary with typed metadata."""
+    from mit_spark.operators.wav_codec import encode_wav
+
+    spans = _media_spans(spark, docs_df)
+
+    def attach(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in _chunks(batches):
+            rows = []
+            for doc, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                s = synth_audio_samples(str(ref))
+                rows.append(
+                    (
+                        doc,
+                        ref,
+                        encode_wav(s, rate=16000),
+                        {
+                            "mime": "audio/wav",
+                            "rate": 16000,
+                            "n_samples": int(s.shape[0]),
+                            "channels": 1,
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "content", "meta"]
+            )
+
+    return spans.mapInPandas(attach, schema=AUDIO)
+
+
+def waveform_stats(audio_df: DataFrame) -> DataFrame:
+    """Audio feature extraction: decode WAV, derive EVERYTHING from the
+    decoded PCM — sample count, RMS, peak, zero-crossing count, and the
+    half-period implied by the crossings (n / (zc+1)) — so a wrong header
+    offset, endianness, or chunk walk breaks the value oracle. Integer
+    outputs only: the synth waveforms make RMS/peak exact integers
+    (float64 is exact for these magnitudes)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        from mit_spark.operators.wav_codec import decode_wav
+
+        for pdf in _chunks(batches):
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                _rate, arr = decode_wav(bytes(content))
+                s = arr[:, 0].astype(np.int64)
+                n = int(s.shape[0])
+                rms = int(round(float(np.sqrt(np.mean(s * s)))))
+                peak = int(np.abs(s).max())
+                zc = int(np.count_nonzero(np.sign(s[1:]) != np.sign(s[:-1])))
+                half = n // (zc + 1)
+                rows.append((ref, n, half, rms, peak, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref",
+                    "n_samples",
+                    "half_period",
+                    "rms",
+                    "peak",
+                    "zero_crossings",
+                ],
+            )
+
+    return audio_df.mapInPandas(run, schema=WAVEFORM_STATS)
+
+
 def frame_sample(media_df: DataFrame, every_k: int = 2) -> DataFrame:
     """Video frame sampling: one output row per kept frame (indices
     0, k, 2k, ...); images pass through as frame 0. The Spark analogue of

@@ -1952,6 +1952,69 @@ def media_channel_stats_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audio_stats_sql() -> str:
+    """Closed-form oracle for the REAL-WAV decode path: payloads are
+    md5-parameterized square waves (multimodal.synth_audio_samples), PCM is
+    lossless, and a square wave's stats are exact integers — RMS == peak
+    == amplitude, zero crossings == n/half - 1 — so DuckDB states the
+    corpus aggregates from the same md5 arithmetic without decoding a
+    byte. The Spark side derives every reported value from the DECODED
+    samples (including the half-period via n/(zc+1)), so a wrong RIFF
+    chunk walk, header offset, or endianness flips the hash."""
+    h = _h_sql
+    return (
+        _flagship_expected_body()
+        + f"""
+    , arefs AS (
+      SELECT DISTINCT doc, off, mref FROM rshrunk WHERE doc < 'doc-00000120'
+    ), aparams AS (
+      SELECT doc, off, mref,
+             256 * (1 + {h("'au:'||mref||':amp'")} % 100) AS a,
+             8 * (1 + {h("'au:'||mref||':per'")} % 16) AS half,
+             (50 + {h("'au:'||mref||':len'")} % 50) AS m
+      FROM arefs
+    ), afull AS (
+      SELECT doc, off, mref, a, half, 2 * half * m AS n FROM aparams
+    )
+    SELECT half::BIGINT AS half_period,
+           count(*)::BIGINT AS n_clips,
+           round(avg(a * 1.0), 4) AS avg_rms,
+           sum(n // half - 1)::BIGINT AS total_zero_crossings,
+           sum(n)::BIGINT AS total_samples
+    FROM afull GROUP BY half ORDER BY half_period
+    """
+    )
+
+
+@register("audio_waveform_stats", _audio_stats_sql())
+def audio_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio as a first-class multimodal column: every media span carries a
+    REAL WAV payload (its narration track — operators/wav_codec.py, RIFF/
+    PCM 16-bit) and the stats UDF decodes the PCM and derives sample
+    count, RMS, peak, zero-crossing count and the implied half-period
+    FROM THE DECODED SAMPLES, aggregated per half-period class. Same
+    Arrow-batched mapInPandas plumbing and pre-UDF skew spread as the
+    image tables; the oracle is closed-form over the generator arithmetic
+    (_audio_stats_sql). At 100 TB: audio bytes stay columnar through
+    Arrow, decode parallelizes per span row, the aggregate is one
+    combinable 16-group shuffle."""
+    from mit_spark.operators.multimodal import audio_table, waveform_stats
+    from mit_spark.sources.docs_source import load_docs
+
+    docs = load_docs(spark, sf_dir, max_doc_no=120)
+    st = waveform_stats(audio_table(spark, docs))
+    return (
+        st.groupBy(F.col("half_period").cast("long").alias("half_period"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.round(F.avg(F.col("rms").cast("double")), 4).alias("avg_rms"),
+            F.sum("zero_crossings").cast("long").alias("total_zero_crossings"),
+            F.sum("n_samples").cast("long").alias("total_samples"),
+        )
+        .orderBy("half_period")
+    )
+
+
 # ---------------------------------------------------------------------------
 # idempotent staging (shared by the streaming entries and the dedup pair
 # cache): a deterministic per-(sf_dir, tag) scratch dir behind a _STAGED
@@ -4119,6 +4182,7 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # since r1.
 _WINDOW_BACK = [
     # green r1–r4 (4 recorded rows each):
+    "user_sessions",  # rotated out for r5's audio_waveform_stats
     "q1_pricing_summary",
     "q3_topk_revenue",
     "q5_region_revenue",
