@@ -68,9 +68,10 @@ BENCH_QUERIES = [
     "bloom_dedup_screen",
     "media_frame_census",
     "streaming_stateful_dedup",
-    # round 5: the real-JPEG and real-WAV codec paths
+    # round 5: the real JPEG / WAV / MJPEG-AVI codec paths
     "media_channel_stats_jpeg",
     "audio_waveform_stats",
+    "video_frame_stats",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

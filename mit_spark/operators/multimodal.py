@@ -9,13 +9,16 @@ media through a deterministic raw container (``MITB``: magic + kind + dims
 + frame count + packed u8 payload); the real-codec seam
 (`decode_external`) decodes PNG and baseline JPEG — the two formats the
 reference's ``image`` crate reads for its fixtures — via the pure-stdlib
-codecs in operators/png_codec.py and operators/jpeg_codec.py (no PIL).
+codecs in operators/png_codec.py and operators/jpeg_codec.py (no PIL);
 JPEG streams outside the baseline 4:4:4 subset fall back to PIL when
-present; video stays env-gated behind cv2/av with a clearly marked
-``NotImplementedError``. Everything Spark-side — schemas, Arrow batch
-shape, partition strategy, UDF signatures — is codec-agnostic;
-`media_table_png`/`media_table_jpeg` + `channel_stats(frames_of=...)` run
-both real-codec paths end-to-end under the SQL oracle gate.
+present. Audio flows as RIFF/PCM WAV (operators/wav_codec.py) and video
+as Motion-JPEG AVI (operators/avi_codec.py), so ALL THREE modalities run
+real formats end-to-end; other codecs (H.264 etc.) stay env-gated behind
+cv2/av with a clearly marked ``NotImplementedError``. Everything
+Spark-side — schemas, Arrow batch shape, partition strategy, UDF
+signatures — is codec-agnostic; `media_table_png`/`media_table_jpeg`/
+`audio_table`/`video_table` + the stats UDFs run every real-codec path
+end-to-end under the SQL oracle gate.
 """
 
 from __future__ import annotations
@@ -142,8 +145,9 @@ def decode_external(fmt: str, data: bytes) -> np.ndarray:
         return arr
     raise NotImplementedError(
         f"no codec for {fmt!r} in this environment (PIL/cv2/av absent); "
-        "PNG/baseline-JPEG decode via the stdlib codecs, other formats use "
-        "the deterministic MITB container in tests/bench"
+        "PNG/baseline-JPEG (and WAV/MJPEG-AVI via wav_codec/avi_codec) "
+        "decode via the stdlib codecs, other formats use the deterministic "
+        "MITB container in tests/bench"
     )
 
 
@@ -459,6 +463,65 @@ def waveform_stats(audio_df: DataFrame) -> DataFrame:
     return audio_df.mapInPandas(run, schema=WAVEFORM_STATS)
 
 
+def video_table(spark: SparkSession, docs_df: DataFrame) -> DataFrame:
+    """Video spans as REAL Motion-JPEG AVI payloads (operators/avi_codec.py
+    — RIFF container, one MJPG 'vids' stream, every frame through the
+    stdlib JPEG codec). Only video refs (n_frames == 4) qualify; each
+    frame is the ref's deterministic tile image varied by frame index
+    ('vf:<ref>:<f>:<bx>:<by>'), the DC-only construction whose decode is
+    bit-exact, so the downstream stats stay under a closed-form SQL
+    oracle. Same plumbing/schema as the image tables."""
+    import hashlib
+
+    from mit_spark.operators.avi_codec import encode_avi_mjpg
+
+    spans = _media_spans(spark, docs_df)
+
+    def attach(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in _chunks(batches):
+            rows = []
+            for doc, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                _b, m = synth_media_bytes(str(ref))
+                if m["n_frames"] != 4:
+                    continue
+                w8, h8 = m["width"] // 8 * 8, m["height"] // 8 * 8
+                if w8 == 0 or h8 == 0:
+                    continue
+                frames = []
+                for f in range(4):
+                    tiles = np.empty((h8 // 8, w8 // 8), dtype=np.uint8)
+                    for by in range(h8 // 8):
+                        for bx in range(w8 // 8):
+                            hv = int(
+                                hashlib.md5(
+                                    f"vf:{ref}:{f}:{bx}:{by}".encode()
+                                ).hexdigest()[:8],
+                                16,
+                            )
+                            tiles[by, bx] = 2 * (hv % 128)
+                    frames.append(np.kron(tiles, np.ones((8, 8), dtype=np.uint8)))
+                rows.append(
+                    (
+                        doc,
+                        ref,
+                        encode_avi_mjpg(frames, quality=50),
+                        {
+                            **m,
+                            "mime": "video/x-msvideo",
+                            "width": int(w8),
+                            "height": int(h8),
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "content", "meta"]
+            )
+
+    return spans.mapInPandas(attach, schema=MEDIA)
+
+
 def frame_sample(media_df: DataFrame, every_k: int = 2) -> DataFrame:
     """Video frame sampling: one output row per kept frame (indices
     0, k, 2k, ...); images pass through as frame 0. The Spark analogue of
@@ -522,6 +585,16 @@ def _frames_jpeg(content: bytes) -> np.ndarray:
     from mit_spark.operators.multimodal import decode_external
 
     return decode_external("jpeg", content)[None]
+
+
+def _frames_avi(content: bytes) -> np.ndarray:
+    from mit_spark.operators.avi_codec import decode_avi_mjpg
+
+    frames = decode_avi_mjpg(bytes(content))
+    out = [
+        np.repeat(f[:, :, None], 3, axis=2) if f.ndim == 2 else f for f in frames
+    ]
+    return np.stack(out)
 
 
 def channel_stats(media_df: DataFrame, *, frames_of=_frames_mitb) -> DataFrame:

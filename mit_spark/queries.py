@@ -1952,6 +1952,85 @@ def media_channel_stats_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _video_stats_sql() -> str:
+    """Closed-form oracle for the REAL-VIDEO decode path (Motion-JPEG AVI,
+    operators/avi_codec.py): video refs carry 4 frames of the
+    deterministic tile construction ('vf:<ref>:<f>:<bx>:<by>'), each frame
+    decoding bit-exact (DC-only blocks, even grays), so per-ref
+    channel moments over all 4 frames' pixels equal moments over the
+    4 x tiles value multiset — stated from the same md5 arithmetic. A
+    wrong RIFF walk, frame-chunk order, or per-frame JPEG decode flips
+    the hash."""
+    h = _h_sql
+    return (
+        _flagship_expected_body()
+        + f"""
+    , vdims AS (
+      SELECT doc, off, mref, any_value(pw) AS pw, any_value(ph) AS ph
+      FROM rshrunk WHERE doc < 'doc-00000120' GROUP BY doc, off, mref
+    ), vvrefs AS (
+      SELECT doc, off, mref, (pw // 8) * 8 AS w8, (ph // 8) * 8 AS h8
+      FROM vdims
+      WHERE (ascii(substr(mref,16,1)) + 256*ascii(substr(mref,17,1))) % 7 = 0
+        AND pw >= 8 AND ph >= 8
+    ), vf AS (
+      SELECT doc, off, mref, w8, h8, unnest(range(4)) AS f FROM vvrefs
+    ), vfx AS (
+      SELECT doc, off, mref, h8, f, unnest(range(w8 // 8)) AS bx FROM vf
+    ), vfxy AS (
+      SELECT doc, off, mref, f, bx, unnest(range(h8 // 8)) AS by FROM vfx
+    ), vtiles AS (
+      SELECT doc, off, mref,
+             2 * ({h("'vf:'||mref||':'||f||':'||bx||':'||by")} % 128) AS v
+      FROM vfxy
+    ), vstats AS (
+      SELECT doc, off, mref,
+             round(avg(v * 1.0), 4) AS mean,
+             round(sqrt(greatest(avg(v*v*1.0) - avg(v*1.0)*avg(v*1.0), 0.0)), 4)
+               AS std
+      FROM vtiles GROUP BY doc, off, mref
+    )
+    SELECT c.ch AS channel, count(*)::BIGINT AS n_media,
+           round(avg(mean), 3) AS avg_mean, round(avg(std), 3) AS avg_std,
+           (count(*) * 4)::BIGINT AS total_frames
+    FROM vstats CROSS JOIN (SELECT unnest([0,1,2]) AS ch) c
+    GROUP BY c.ch ORDER BY channel
+    """
+    )
+
+
+@register("video_frame_stats", _video_stats_sql())
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_channel_stats over REAL VIDEO payloads: video spans carry
+    Motion-JPEG AVI files — a RIFF container whose every frame runs
+    through the stdlib JPEG codec — decoded frame-by-frame inside the same
+    Arrow-batched stats plan (channel_stats with frames_of=_frames_avi).
+    With this entry all three media modalities flow through REAL formats
+    end-to-end under SQL value oracles: PNG/JPEG images, WAV audio,
+    MJPEG-AVI video. Intraframe-only compression is also the scale story:
+    frames decode independently, so a 2-hour video splits across
+    executors without state."""
+    from mit_spark.operators.multimodal import (
+        _frames_avi,
+        channel_stats,
+        video_table,
+    )
+    from mit_spark.sources.docs_source import load_docs
+
+    docs = load_docs(spark, sf_dir, max_doc_no=120)
+    stats = channel_stats(video_table(spark, docs), frames_of=_frames_avi)
+    return (
+        stats.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg("mean"), 3).alias("avg_mean"),
+            F.round(F.avg("std"), 3).alias("avg_std"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("channel")
+    )
+
+
 def _audio_stats_sql() -> str:
     """Closed-form oracle for the REAL-WAV decode path: payloads are
     md5-parameterized square waves (multimodal.synth_audio_samples), PCM is
@@ -4183,6 +4262,7 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_BACK = [
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
+    "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
     "q1_pricing_summary",
     "q3_topk_revenue",
     "q5_region_revenue",
