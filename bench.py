@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "media_channel_stats_jpeg",
     "audio_waveform_stats",
     "video_frame_stats",
+    "corpus_curation_report",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

@@ -1952,6 +1952,213 @@ def media_channel_stats_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_sql() -> str:
+    mh = ",\n             ".join(f"min(d[{5*j+1}:{5*j+5}]) AS mh{j}" for j in range(6))
+    return f"""
+    WITH base AS (
+      SELECT doc_id, split(trim(text), ' ') AS words FROM documents
+    ), hashes AS (
+      SELECT doc_id, md5(array_to_string(words, ' ')) AS h FROM base
+    ), firsts AS (
+      SELECT h, min(doc_id) AS keeper FROM hashes GROUP BY h
+    ), exact_dup AS (
+      SELECT doc_id FROM hashes JOIN firsts USING (h) WHERE doc_id > keeper
+    ), tok AS (
+      SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w
+      FROM base
+    ), sh AS (
+      SELECT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle,
+             lead(w, 2) OVER win AS w2
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), dg AS (
+      SELECT doc_id, md5(shingle) AS d FROM sh WHERE w2 IS NOT NULL
+    ), sigs AS (
+      SELECT doc_id,
+             {mh}
+      FROM dg GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([mh0 || mh1, mh2 || mh3, mh4 || mh5]) AS band
+      FROM sigs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ), sets AS (
+      SELECT doc_id, list_distinct(list(d)) AS ds FROM dg GROUP BY doc_id
+    ), near AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM cand JOIN sets x ON cand.doc_a = x.doc_id
+                JOIN sets y ON cand.doc_b = y.doc_id
+      WHERE len(list_filter(x.ds, s -> list_contains(y.ds, s)))
+            / (len(x.ds) + len(y.ds)
+               - len(list_filter(x.ds, s -> list_contains(y.ds, s)))) >= 0.5
+    ), g AS (
+      SELECT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' '
+               || lead(w, 3) OVER win AS gram,
+             lead(w, 3) OVER win AS w7
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), gd AS (
+      SELECT DISTINCT doc_id, gram FROM g WHERE w7 IS NOT NULL
+    ), contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM gd t JOIN gd b ON t.gram = b.gram
+      WHERE t.doc_id % 50 <> 7 AND b.doc_id % 50 = 7
+    ), wc AS (
+      SELECT doc_id, w AS word, count(*) AS c FROM tok WHERE w <> ''
+      GROUP BY doc_id, w
+    ), lowq AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, sum(c) AS n_words, count(*) AS n_unique, max(c) AS top_cnt
+        FROM wc GROUP BY doc_id)
+      WHERE 1 - n_unique / CAST(n_words AS DOUBLE) > 0.6
+         OR top_cnt / CAST(n_words AS DOUBLE) > 0.12
+    )
+    SELECT b.doc_id,
+           CASE WHEN b.doc_id % 50 = 7 THEN 'holdout'
+                WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN q.doc_id IS NOT NULL THEN 'low_quality'
+                ELSE 'kept' END AS status,
+           len(words)::BIGINT AS n_tokens
+    FROM base b
+    LEFT JOIN exact_dup e ON b.doc_id = e.doc_id
+    LEFT JOIN near n ON b.doc_id = n.doc_id
+    LEFT JOIN contaminated c ON b.doc_id = c.doc_id
+    LEFT JOIN lowq q ON b.doc_id = q.doc_id
+    ORDER BY b.doc_id
+    """
+
+
+@register("corpus_curation_report", _curation_sql())
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as ONE declarative plan — the
+    composite a real corpus owner runs nightly: every document gets a
+    single disposition with fixed priority
+      holdout > exact_dup > near_dup > contaminated > low_quality > kept
+    where holdout is the benchmark slice (doc %50==7), exact_dup keeps the
+    LOWEST doc_id per content hash, near_dup flags the higher id of every
+    LSH-candidate pair verified at Jaccard >= 0.5 (single-pass pair flags;
+    transitive closure is dedup_clusters' job), contaminated shares a
+    4-gram with any holdout doc, and low_quality trips the Gopher
+    repetition thresholds. n_tokens rides along as the packing input.
+
+    The point of the composite: all five signals assemble into ONE
+    Catalyst DAG over ONE corpus scan lineage — the content-hash pass, the
+    shingle/minhash pass (ds carried through the band explode, verify
+    inline — the incremental_dedup shape), the gram probe (holdout side
+    broadcast), and the two combinable word-count aggregates share the
+    repartitioned base — no orchestration layer, no intermediate
+    materialization, and every stage is the same shuffle shape that was
+    individually plan-audited at its standalone entry. The final statuses
+    are LEFT joins of tiny id-lists back onto the corpus."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("words")
+    )
+    d = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    content = F.md5(F.concat_ws(" ", "words"))
+    hashes = d.select("doc_id", content.alias("h"))
+    firsts = hashes.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    exact_dup = (
+        hashes.join(firsts, "h")
+        .filter(F.col("doc_id") > F.col("keeper"))
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(1))
+    )
+    n_words = F.size("words")
+    digests = F.when(
+        n_words >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 2),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("words", i, 3))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs_dg = d.select("doc_id", digests.alias("dg")).filter(F.size("dg") > 0)
+    sigs = docs_dg.select(
+        "doc_id",
+        F.array_distinct("dg").alias("ds"),
+        *[
+            F.array_min(
+                F.transform("dg", lambda x: F.substring(x, 5 * j + 1, 5))
+            ).alias(f"mh{j}")
+            for j in range(6)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        "ds",
+        F.explode(
+            F.array(
+                F.concat("mh0", "mh1"), F.concat("mh2", "mh3"), F.concat("mh4", "mh5")
+            )
+        ).alias("band"),
+    )
+    a = bands.select(F.col("doc_id").alias("da"), "band", F.col("ds").alias("ds_x"))
+    b = bands.select(F.col("doc_id").alias("db"), "band", F.col("ds").alias("ds_y"))
+    inter = F.size(F.array_intersect("ds_x", "ds_y"))
+    union = F.size("ds_x") + F.size("ds_y") - inter
+    near = (
+        a.join(b, "band")
+        .filter(F.col("da") < F.col("db"))
+        .filter(inter / union >= 0.5)
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    grams = F.when(
+        n_words >= 4,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 3),
+            lambda i: F.concat_ws(" ", F.slice("words", i, 4)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gd = d.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    bench = gd.filter(F.col("doc_id") % 50 == 7).select("gram").distinct()
+    contaminated = (
+        gd.filter(F.col("doc_id") % 50 != 7)
+        .join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    words = d.select("doc_id", F.explode("words").alias("word")).filter(
+        F.col("word") != ""
+    )
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    per = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.max("c").alias("top_cnt"),
+    )
+    dup = F.lit(1) - F.col("n_unique") / F.col("n_words").cast("double")
+    top = F.col("top_cnt") / F.col("n_words").cast("double")
+    lowq = (
+        per.filter((dup > 0.6) | (top > 0.12))
+        .select("doc_id")
+        .withColumn("is_lowq", F.lit(1))
+    )
+    return (
+        d.select("doc_id", F.size("words").cast("long").alias("n_tokens"))
+        .join(exact_dup, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .join(lowq, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 50 == 7, F.lit("holdout"))
+            .when(F.col("is_exact") == 1, F.lit("exact_dup"))
+            .when(F.col("is_near") == 1, F.lit("near_dup"))
+            .when(F.col("is_cont") == 1, F.lit("contaminated"))
+            .when(F.col("is_lowq") == 1, F.lit("low_quality"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            "n_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _video_stats_sql() -> str:
     """Closed-form oracle for the REAL-VIDEO decode path (Motion-JPEG AVI,
     operators/avi_codec.py): video refs carry 4 frames of the
@@ -4263,6 +4470,7 @@ _WINDOW_BACK = [
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
+    "doc_token_stats",  # rotated out for r5's corpus_curation_report
     "q1_pricing_summary",
     "q3_topk_revenue",
     "q5_region_revenue",
