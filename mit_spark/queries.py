@@ -2045,14 +2045,18 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition thresholds. n_tokens rides along as the packing input.
 
     The point of the composite: all five signals assemble into ONE
-    Catalyst DAG over ONE corpus scan lineage — the content-hash pass, the
-    shingle/minhash pass (ds carried through the band explode, verify
-    inline — the incremental_dedup shape), the gram probe (holdout side
-    broadcast), and the two combinable word-count aggregates share the
-    repartitioned base — no orchestration layer, no intermediate
-    materialization, and every stage is the same shuffle shape that was
-    individually plan-audited at its standalone entry. The final statuses
-    are LEFT joins of tiny id-lists back onto the corpus."""
+    Catalyst DAG — the content-hash pass, the shingle/minhash pass (ds
+    carried through the band explode, verify inline — the
+    incremental_dedup shape), the gram probe (holdout side broadcast), and
+    the two combinable word-count aggregates — with no orchestration layer
+    and every stage the same shuffle shape that was individually
+    plan-audited at its standalone entry. The final statuses are LEFT
+    joins of tiny id-lists back onto the corpus. Each signal subtree
+    re-scans the corpus (the executed plan shows no exchange reuse):
+    at bench scale that is CHEAPER than persist()'s materialization
+    barrier (measured on incremental_dedup, where persist cost 2-3 s);
+    at 100 TB a nightly run stages the tokenized corpus once and points
+    all five subtrees at it — the _substr_chunks discipline."""
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.trim("text"), " ").alias("words")
     )
@@ -3494,10 +3498,13 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw text (MBs here); at web scale the scan already yields thousands
     # of splits and this repartition is dropped — same remedy load_docs
     # applies before span generation (docs_source.py:71-72). Hash on
-    # doc_id, not round-robin: the exchange feeds BOTH the content-hash
-    # pass and the shingle pass, and AQE reuses a hash exchange across the
-    # two subtrees where a round-robin one was observed to materialize
-    # twice.
+    # doc_id, not round-robin: a round-robin exchange LOCALLY SORTS every
+    # row for deterministic retries (spark.sql.execution.
+    # sortBeforeRepartition), which on array<string> rows costs more than
+    # the exchange itself; a hash exchange needs no sort (A/B'd: hash
+    # steady-state 2.4 s vs round-robin 3.3-4.0 s). Each consumer subtree
+    # re-executes the exchange (no ReusedExchange in the executed plan) —
+    # the win is that every pass now runs 32-wide.
     d = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     batch = _incdedup_batch(spark, sf_dir, d)
     content = F.md5(F.concat_ws(" ", "words"))
