@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "rolling_fingerprint",
     "token_count_bpe",
     "tfidf_topk_terms",
+    "kgram_novelty_score",
+    "rare_token_profile",
     "decontaminate_ngrams",
     "pii_redaction",
     "events_asof_join",

@@ -4454,6 +4454,153 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus novelty / lexical-rarity profiles (beyond-reference curation ops)
+
+
+@register(
+    "kgram_novelty_score",
+    """
+    WITH words AS (
+      SELECT doc_id, generate_subscripts(split(trim(text), ' '), 1) AS pos,
+             unnest(split(trim(text), ' ')) AS w
+      FROM documents
+    ), g0 AS (
+      SELECT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS gram,
+             lead(w, 2) OVER win AS w2
+      FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), grams AS (
+      SELECT DISTINCT doc_id, gram FROM g0 WHERE w2 IS NOT NULL
+    ), owner AS (
+      SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN o.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(sum(CASE WHEN o.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS novelty
+    FROM grams g JOIN owner o ON g.gram = o.gram
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def kgram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty against the corpus: the share of a doc's
+    DISTINCT word trigrams whose first corpus occurrence (min doc_id —
+    ingestion-order proxy) is this document. The signal an incremental
+    curation loop ranks candidate batches by: near-1 docs add new content,
+    near-0 docs restate what the corpus already holds (the doc-level dual
+    of `incremental_dedup`'s accept/reject decision).
+
+    Plan shape: trigrams are formed ARRAY-SIDE in one codegen projection
+    (slice+transform over the split array — `greatest(.., 0)` guards
+    sub-3-word docs; no per-token window sort) and deduped per doc with
+    `array_distinct` BEFORE the explode, so the exploded row count is
+    bounded by distinct grams. Then ONE combinable min-shuffle keyed on the
+    gram builds the first-occurrence table, and the join back is keyed on
+    the same gram column — with AQE the two subtrees share the exchange
+    layout, and gram keys are near-unique (no skew: a gram's row count is
+    its doc frequency, already capped by the distinct). Per-doc totals are
+    a final combinable count shuffle on doc_id. Nothing all-pairs, nothing
+    driver-side; `novelty` is a single int/int double division (bit-exact
+    cross-engine, the tfidf rule — no log, no float sums). Docs with fewer
+    than 3 words have no trigrams and are absent by definition (both
+    engines)."""
+    d = read_table(spark, sf_dir, "documents")
+    gram_arr = F.expr(
+        "transform(slice(ws, 1, greatest(size(ws) - 2, 0)),"
+        " (w, i) -> concat(w, ' ', ws[i + 1], ' ', ws[i + 2]))"
+    )
+    grams = d.select("doc_id", F.split(F.trim("text"), " ").alias("ws")).select(
+        "doc_id", F.explode(F.array_distinct(gram_arr)).alias("gram")
+    )
+    owner = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(owner, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_grams")).alias("novelty"),
+    ).orderBy("doc_id")
+
+
+_RARE_MAX_FREQ = 2  # hapax + dis legomena: corpus frequency <= 2
+
+
+@register(
+    "rare_token_profile",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(split(trim(text), ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY w
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN f.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(min(f.cnt) AS BIGINT) AS min_freq,
+           CAST(sum(CASE WHEN f.cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS rare_share
+    FROM words t JOIN freq f ON t.w = f.w
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def rare_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-rarity profile against the corpus unigram
+    table: token count, count of tokens whose CORPUS frequency is <= 2
+    (hapax/dis legomena — OCR garble, codes, and gibberish concentrate
+    there), the doc's minimum token frequency, and the rare-token share.
+    The log-free stdlib stand-in for CCNet-style LM-perplexity quality
+    filtering: a high rare share flags noise, a zero share flags pure
+    boilerplate (exact floats: counts + ONE int/int division — a unigram
+    logprob mean would sum doubles in engine-dependent order and log()'s
+    last-ulp differences flip roundings, the r3 tfidf lesson).
+
+    Plan shape: one combinable count shuffle keyed on the token builds the
+    corpus frequency table; the join back is keyed on the same token
+    column. Natural-language tokens are Zipf-skewed ('the' hits every
+    doc) — AQE's skew-join split handles the head keys, and the frequency
+    side is one row per DISTINCT token (vocab-sized, ~sqrt of corpus —
+    broadcastable on a real cluster, where only min_freq keeps the full
+    table in the join; a rare-only variant would broadcast just the
+    cnt<=2 slice). Final per-doc rollup is a combinable shuffle on doc_id.
+    Every doc appears (split yields >= 1 token, even for empty text —
+    both engines)."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    per_doc = (
+        tok.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum((F.col("cnt") <= _RARE_MAX_FREQ).cast("long"))
+            .cast("long")
+            .alias("n_rare"),
+            F.min("cnt").alias("min_freq"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_rare",
+        "min_freq",
+        (F.col("n_rare").cast("double") / F.col("n_tokens")).alias("rare_share"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate window ordering (the "first-50 contract").
 #
 # The driver's per-round CORRECTNESS gate checks exactly the FIRST 50
@@ -4490,6 +4637,8 @@ _WINDOW_BACK = [
     "repeat_customers_intersect",
     "churned_customers_except",
     "supplier_distinct_parts",
+    "orders_without_lineitems",  # rotated out for r5's kgram_novelty_score
+    "priority_orders_semi",  # rotated out for r5's rare_token_profile
     # green in r3 (rotated out of the r4 window by r4's insertions):
     "semantic_dedup_verified",
     "token_length_quantiles",
