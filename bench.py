@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "tfidf_topk_terms",
     "kgram_novelty_score",
     "rare_token_profile",
+    "ann_recall_eval",
     "decontaminate_ngrams",
     "pii_redaction",
     "events_asof_join",

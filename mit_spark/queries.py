@@ -1640,16 +1640,22 @@ def _ivf_sql() -> str:
     """
 
 
-@register("ann_ivf_topk", _ivf_sql())
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: build a coarse quantizer (one Lloyd iteration from the
-    deterministic seed assignment vec_id % 8), assign every vector to its
-    nearest centroid (inverted lists), then answer top-3 L2 queries probing
-    ONLY the query's cell. Scale shape: the centroid table is tiny and
-    broadcast; index build is one positional agg; search cost is bucket-local
-    (n/k candidates per query instead of n). Centroids are rounded to 3dp so
-    both engines' avg() agree bit-for-bit after rounding; distances use
-    index-order folds."""
+def _l2_fold(x, y):
+    """Index-order squared-L2 fold — bit-identical to the DuckDB
+    list_reduce in _emb_fold_sql (same summation order)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared IVF index build: coarse quantizer from one Lloyd iteration
+    over the deterministic seed assignment vec_id % 8 (centroids rounded to
+    3dp so both engines' avg() agree bit-for-bit), then every vector
+    assigned to its nearest centroid. Returns (vec_id, e, cell) — the
+    inverted lists both ANN entries probe."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
@@ -1666,18 +1672,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("arr")
         )
     )
-
-    def l2(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: (p - q) * (p - q)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    vc = emb.crossJoin(F.broadcast(cent)).withColumn("d2", l2(F.col("e"), F.col("arr")))
+    vc = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "d2", _l2_fold(F.col("e"), F.col("arr"))
+    )
     rn = F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cell"))
-    assigned = vc.withColumn("rn", rn).filter(F.col("rn") == 1).select("vec_id", "e", "cell")
+    return vc.withColumn("rn", rn).filter(F.col("rn") == 1).select("vec_id", "e", "cell")
 
+
+@register("ann_ivf_topk", _ivf_sql())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: build a coarse quantizer (one Lloyd iteration from the
+    deterministic seed assignment vec_id % 8), assign every vector to its
+    nearest centroid (inverted lists), then answer top-3 L2 queries probing
+    ONLY the query's cell. Scale shape: the centroid table is tiny and
+    broadcast; index build is one positional agg; search cost is bucket-local
+    (n/k candidates per query instead of n). Centroids are rounded to 3dp so
+    both engines' avg() agree bit-for-bit after rounding; distances use
+    index-order folds."""
+    assigned = _ivf_assign(spark, sf_dir)
     q = assigned.filter(F.col("vec_id") < 5).alias("q")
     n = assigned.alias("n")
     pairs = q.join(
@@ -1685,7 +1697,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("q.vec_id").alias("q_id"),
         F.col("n.vec_id").alias("n_id"),
-        l2(F.col("q.e"), F.col("n.e")).alias("d2_raw"),
+        _l2_fold(F.col("q.e"), F.col("n.e")).alias("d2_raw"),
     )
     rn2 = F.row_number().over(Window.partitionBy("q_id").orderBy("d2_raw", "n_id"))
     return (
@@ -1693,6 +1705,128 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("q_id", "n_id", F.round("d2_raw", 6).alias("d2"))
         .orderBy("q_id", "d2", "n_id")
+    )
+
+
+_RECALL_K = 3
+_RECALL_N_QUERIES = 32  # query panel: vec_id < 32
+
+
+def _recall_sql() -> str:
+    d_qc = _emb_fold_sql("v.e", "c.arr", "l2")
+    d_qn = _emb_fold_sql("q.e", "n.e", "l2")
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                      vec_id % 8 AS cell0 FROM embeddings),
+         pos AS (SELECT cell0, unnest(e) AS val, generate_subscripts(e, 1) AS p FROM v),
+         cent AS (
+           SELECT cell0 AS cell, list(round(avg_val, 3) ORDER BY p) AS arr FROM (
+             SELECT cell0, p, avg(val) AS avg_val FROM pos GROUP BY cell0, p
+           ) GROUP BY cell0
+         ),
+         assigned AS (
+           SELECT vec_id, e, cell FROM (
+             SELECT v.vec_id, v.e, c.cell, {d_qc} AS d2,
+                    row_number() OVER (PARTITION BY v.vec_id
+                                       ORDER BY {d_qc}, c.cell) AS rn
+             FROM v CROSS JOIN cent c
+           ) WHERE rn = 1
+         ),
+         ivf AS (
+           SELECT q_id, n_id FROM (
+             SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY {d_qn}, n.vec_id) AS rn
+             FROM assigned q JOIN assigned n
+               ON q.cell = n.cell AND q.vec_id <> n.vec_id
+             WHERE q.vec_id < {_RECALL_N_QUERIES}
+           ) WHERE rn <= {_RECALL_K}
+         ),
+         exact AS (
+           SELECT q_id, n_id FROM (
+             SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY {d_qn}, n.vec_id) AS rn
+             FROM v q JOIN v n ON q.vec_id <> n.vec_id
+             WHERE q.vec_id < {_RECALL_N_QUERIES}
+           ) WHERE rn <= {_RECALL_K}
+         )
+    SELECT CAST({_RECALL_K} AS BIGINT) AS k,
+           CAST(count(DISTINCT e.q_id) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / ({_RECALL_K} * count(DISTINCT e.q_id)) AS recall
+    FROM exact e LEFT JOIN ivf i ON e.q_id = i.q_id AND e.n_id = i.n_id
+    """
+
+
+@register("ann_recall_eval", _recall_sql())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF scale path against exact brute force — the
+    quality dial an ANN deployment tunes (cells probed vs recall) before
+    trusting bucket-local search at corpus scale. A 32-query panel gets
+    top-3 neighbors twice: EXACT via brute force (broadcast the panel, one
+    nested-loop pass over all vectors — cost n x |panel|, LINEAR in the
+    corpus, which is what makes ground-truth eval affordable at 100 TB on a
+    sample even when full brute-force search is not) and IVF probing only
+    the query's cell (shared index build `_ivf_assign`, same inverted lists
+    as `ann_ivf_topk`). One LEFT join counts the overlap; output is a
+    single row (k, n_queries, n_hits, recall) — integer counts plus ONE
+    int/int double division, bit-exact cross-engine. Both rankings break
+    distance ties by n_id in both engines, and distances are index-order
+    folds, so the two top-k sets are deterministic."""
+    assigned = _ivf_assign(spark, sf_dir)
+
+    q = assigned.filter(F.col("vec_id") < _RECALL_N_QUERIES).alias("q")
+    n = assigned.alias("n")
+    ivf_pairs = q.join(
+        n, (F.col("q.cell") == F.col("n.cell")) & (F.col("q.vec_id") != F.col("n.vec_id"))
+    ).select(
+        F.col("q.vec_id").alias("q_id"),
+        F.col("n.vec_id").alias("n_id"),
+        _l2_fold(F.col("q.e"), F.col("n.e")).alias("d2_raw"),
+    )
+    rn_ivf = F.row_number().over(Window.partitionBy("q_id").orderBy("d2_raw", "n_id"))
+    ivf = (
+        ivf_pairs.withColumn("rn", rn_ivf)
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("q_id", "n_id")
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qv = emb.filter(F.col("vec_id") < _RECALL_N_QUERIES).alias("q")
+    nv = emb.alias("n")
+    bf_pairs = (
+        F.broadcast(qv)
+        .join(nv, F.col("q.vec_id") != F.col("n.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("q_id"),
+            F.col("n.vec_id").alias("n_id"),
+            _l2_fold(F.col("q.e"), F.col("n.e")).alias("d2_raw"),
+        )
+    )
+    rn_bf = F.row_number().over(Window.partitionBy("q_id").orderBy("d2_raw", "n_id"))
+    exact = (
+        bf_pairs.withColumn("rn", rn_bf)
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("q_id", "n_id")
+    )
+
+    joined = exact.join(ivf.withColumn("hit", F.lit(1)), ["q_id", "n_id"], "left")
+    agg = joined.agg(
+        F.countDistinct("q_id").cast("long").alias("n_queries"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+    )
+    return agg.select(
+        F.lit(_RECALL_K).cast("long").alias("k"),
+        "n_queries",
+        "n_hits",
+        (
+            F.col("n_hits").cast("double") / (F.lit(_RECALL_K) * F.col("n_queries"))
+        ).alias("recall"),
     )
 
 
@@ -4639,6 +4773,7 @@ _WINDOW_BACK = [
     "supplier_distinct_parts",
     "orders_without_lineitems",  # rotated out for r5's kgram_novelty_score
     "priority_orders_semi",  # rotated out for r5's rare_token_profile
+    "embedding_label_norms",  # rotated out for r5's ann_recall_eval
     # green in r3 (rotated out of the r4 window by r4's insertions):
     "semantic_dedup_verified",
     "token_length_quantiles",
