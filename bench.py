@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "kgram_novelty_score",
     "rare_token_profile",
     "ann_recall_eval",
+    "ann_multiprobe_recall",
+    "embedding_quant_recall",
     "decontaminate_ngrams",
     "pii_redaction",
     "events_asof_join",
