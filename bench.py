@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "ann_recall_eval",
     "ann_multiprobe_recall",
     "embedding_quant_recall",
+    "split_leakage_audit",
     "decontaminate_ngrams",
     "pii_redaction",
     "events_asof_join",

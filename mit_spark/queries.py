@@ -3316,6 +3316,117 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.orderBy("doc_id")
 
 
+def _split_leakage_sql() -> str:
+    def split_case(col: str) -> str:
+        return (
+            f"CASE WHEN substr(md5(CAST({col} AS VARCHAR) || ':split'), 1, 1) < '8'"
+            f" THEN 'train' ELSE 'val' END"
+        )
+
+    return f"""
+    WITH vp AS (SELECT doc_a, doc_b FROM ({_minhash_verify_sql()}) v),
+         cl AS (SELECT doc_id, cluster_id FROM ({_dedup_clusters_sql()}) c),
+         doc_splits AS (
+           SELECT {split_case("doc_a")} AS sa, {split_case("doc_b")} AS sb FROM vp
+         ),
+         cl_splits AS (
+           SELECT {split_case("ca.cluster_id")} AS sa,
+                  {split_case("cb.cluster_id")} AS sb
+           FROM vp JOIN cl ca ON vp.doc_a = ca.doc_id
+                   JOIN cl cb ON vp.doc_b = cb.doc_id
+         ),
+         rows_ AS (
+           SELECT 'doc_hash' AS strategy, count(*) AS n_pairs,
+                  coalesce(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END), 0) AS n_cross
+           FROM doc_splits
+           UNION ALL
+           SELECT 'cluster_hash', count(*),
+                  coalesce(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END), 0)
+           FROM cl_splits
+         )
+    SELECT strategy, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_cross AS BIGINT) AS n_cross,
+           CAST(n_cross AS DOUBLE) / n_pairs AS leak_rate
+    FROM rows_ ORDER BY strategy
+    """
+
+
+@register("split_leakage_audit", _split_leakage_sql())
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split LEAKAGE audit — the check a curation pipeline runs
+    before trusting an eval set: count verified near-dup pairs
+    (minhash_verified_dups) that straddle the split boundary. Two
+    strategies over the SAME pair set, one row each: `doc_hash` assigns
+    each doc independently by md5(doc_id), so a near-dup pair lands on
+    opposite sides roughly half the time (the eval set silently contains
+    paraphrases of training docs); `cluster_hash` assigns by
+    md5(cluster_id) from dedup_clusters, and since every verified pair is
+    by construction inside one connected component, its leakage is ZERO —
+    the audit PROVES the cluster-aware split is safe rather than asserting
+    it. Scale shape: pure composition of two staged artifacts (the
+    verified-pairs parquet — the SAME staging dedup_clusters reads, built
+    at most once per sf_dir — and the cluster labels) — the audit itself
+    is two broadcast-sized joins on the pair graph plus counts, never a
+    corpus-wide pass; md5-split assignment is deterministic and
+    coordination-free (any worker can re-derive any doc's side). Output is
+    integer counts + one int/int division, bit-exact cross-engine."""
+    base = _staging_dir(sf_dir, "dedup_pairs", "v1")
+    pairs_path = os.path.join(base, "pairs")
+    _staged(
+        base,
+        lambda: minhash_verified_dups(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .write.mode("overwrite")
+        .parquet(pairs_path),
+    )
+    pairs = spark.read.parquet(pairs_path)
+    cl = dedup_clusters(spark, sf_dir)
+
+    def split_of(c: Column) -> Column:
+        return F.when(
+            F.substring(F.md5(F.concat(c.cast("string"), F.lit(":split"))), 1, 1) < "8",
+            F.lit("train"),
+        ).otherwise(F.lit("val"))
+
+    def leak_row(splits: DataFrame, strategy: str) -> DataFrame:
+        agg = splits.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.coalesce(
+                F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_cross"),
+        )
+        return agg.select(F.lit(strategy).alias("strategy"), "n_pairs", "n_cross")
+
+    doc_row = leak_row(
+        pairs.select(
+            split_of(F.col("doc_a")).alias("sa"), split_of(F.col("doc_b")).alias("sb")
+        ),
+        "doc_hash",
+    )
+    ca, cb = cl.alias("ca"), cl.alias("cb")
+    cl_row = leak_row(
+        pairs.join(ca, pairs.doc_a == F.col("ca.doc_id"))
+        .join(cb, pairs.doc_b == F.col("cb.doc_id"))
+        .select(
+            split_of(F.col("ca.cluster_id")).alias("sa"),
+            split_of(F.col("cb.cluster_id")).alias("sb"),
+        ),
+        "cluster_hash",
+    )
+    return (
+        doc_row.unionByName(cl_row)
+        .select(
+            "strategy",
+            "n_pairs",
+            "n_cross",
+            (F.col("n_cross").cast("double") / F.col("n_pairs")).alias("leak_rate"),
+        )
+        .orderBy("strategy")
+    )
+
+
 @register(
     "stratified_sample",
     """
@@ -5047,6 +5158,8 @@ _WINDOW_BACK = [
     # green r4 (recorded row in CORRECTNESS_r04):
     "q6_forecast_revenue",  # rotated out for r5's ann_multiprobe_recall
     "q10_returned_items",  # rotated out for r5's embedding_quant_recall
+    # green r1–r4:
+    "rolling_fingerprint",  # rotated out for r5's split_leakage_audit
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
