@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "ann_multiprobe_recall",
     "embedding_quant_recall",
     "split_leakage_audit",
+    "interval_overlap_join",
     "decontaminate_ngrams",
     "pii_redaction",
     "events_asof_join",

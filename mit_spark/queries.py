@@ -459,6 +459,111 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIN_W = 1800  # bin width (s) for the range-join expansion — the tuning knob
+
+
+def _interval_overlap_sql() -> str:
+    # floor(epoch(...)) everywhere: DuckDB epoch() is fractional DOUBLE,
+    # Spark unix_timestamp() is truncated seconds — floor makes the two
+    # sessionizations (and the overlap arithmetic) integer-identical.
+    es = "CAST(floor(epoch(ts)) AS BIGINT)"
+    return f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, {es} AS es,
+             CASE WHEN {es} - lag({es}) OVER w > 1800
+                  OR lag({es}) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tagged AS (
+      SELECT user_id, es,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, sid, min(es) AS s0, max(es) AS s1
+      FROM tagged GROUP BY user_id, sid
+    ), incidents AS (
+      SELECT event_id AS inc_id, user_id AS iu,
+             {es} - 300 AS i0, {es} + 300 AS i1
+      FROM events WHERE event_type = 'purchase' AND value >= 100.0
+    )
+    SELECT inc_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(least(s1, i1) - greatest(s0, i0)) AS BIGINT) AS overlap_sec
+    FROM incidents JOIN sessions
+      ON s0 <= i1 AND i0 <= s1 AND user_id <> iu
+    GROUP BY inc_id ORDER BY inc_id
+    """
+
+
+@register("interval_overlap_join", _interval_overlap_sql())
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval-overlap JOIN via bin expansion — the operator Spark
+    has no native physical strategy for (a naive ts-range theta-join plans
+    as a nested-loop/cartesian). Two interval sets derived from events:
+    gap-based user sessions [s0, s1] and "incident" windows (+/-300 s
+    around each high-value purchase); for every incident, count OTHER
+    users' sessions overlapping it and the total overlap seconds.
+
+    Scale shape: both sides explode into the fixed-width time bins they
+    cover (`F.sequence(floor(lo/W), floor(hi/W))`, W = 1800 s), and since
+    two intervals can only overlap if they share at least one bin, the
+    range join becomes an EQUI-join on the bin key — shuffle-partitionable,
+    skew-handled by AQE like any hash join — followed by the exact overlap
+    filter and a distinct to collapse multi-bin matches. Candidate count is
+    |pairs sharing a bin|, not |A| x |B|; W is the knob (W ~ median
+    interval length keeps expansion factor ~2). The DuckDB oracle states
+    the same semantics as the naive theta-join — the bin plan is invisible
+    in the result, which is the point. All arithmetic is integer seconds
+    (floored epochs), bit-exact cross-engine."""
+    e = read_table(spark, sf_dir, "events")
+    ev = e.select("user_id", "event_id", "ts", F.unix_timestamp("ts").alias("es"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("es").over(w)
+    tagged = ev.withColumn(
+        "new_session",
+        F.when(prev.isNull() | ((F.col("es") - prev) > 1800), 1).otherwise(0),
+    ).withColumn(
+        "sid", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sessions = tagged.groupBy("user_id", "sid").agg(
+        F.min("es").alias("s0"), F.max("es").alias("s1")
+    )
+    incidents = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") >= 100.0))
+        .select(
+            F.col("event_id").alias("inc_id"),
+            F.col("user_id").alias("iu"),
+            (F.unix_timestamp("ts") - 300).alias("i0"),
+            (F.unix_timestamp("ts") + 300).alias("i1"),
+        )
+    )
+    sb = sessions.withColumn(
+        "bin",
+        F.explode(F.sequence(F.floor(F.col("s0") / _BIN_W), F.floor(F.col("s1") / _BIN_W))),
+    )
+    ib = incidents.withColumn(
+        "bin",
+        F.explode(F.sequence(F.floor(F.col("i0") / _BIN_W), F.floor(F.col("i1") / _BIN_W))),
+    )
+    cand = ib.join(sb, "bin").filter(
+        (F.col("s0") <= F.col("i1"))
+        & (F.col("i0") <= F.col("s1"))
+        & (F.col("user_id") != F.col("iu"))
+    )
+    pairs = cand.select("inc_id", "user_id", "sid", "s0", "s1", "i0", "i1").distinct()
+    return (
+        pairs.groupBy("inc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.least("s1", "i1") - F.greatest("s0", "i0"))
+            .cast("long")
+            .alias("overlap_sec"),
+        )
+        .orderBy("inc_id")
+    )
+
+
 @register(
     "event_type_matrix",
     """
@@ -5160,6 +5265,7 @@ _WINDOW_BACK = [
     "q10_returned_items",  # rotated out for r5's embedding_quant_recall
     # green r1–r4:
     "rolling_fingerprint",  # rotated out for r5's split_leakage_audit
+    "ngram_jaccard_pairs",  # rotated out for r5's interval_overlap_join
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
