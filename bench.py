@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "embedding_quant_recall",
     "split_leakage_audit",
     "interval_overlap_join",
+    "gopher_quality_rules",
     "decontaminate_ngrams",
     "pii_redaction",
     "events_asof_join",

@@ -656,6 +656,96 @@ def doc_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in ("the", "a", "data", "key"))
+    return f"""
+    WITH d AS (
+      SELECT source, split(trim(text), ' ') AS words FROM documents
+    ), m AS (
+      SELECT source,
+             len(words) AS n_words,
+             list_reduce(list_transform(words, w -> len(w)), (acc, x) -> acc + x)
+               AS total_chars,
+             len(list_filter(words, w -> w IN ({stop}))) AS n_stop,
+             len(list_filter(words, w -> regexp_matches(w, '^[a-z]+$'))) AS n_alpha
+      FROM d
+    ), flags AS (
+      SELECT source,
+             CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END AS f_wc,
+             CASE WHEN total_chars < 3 * n_words
+                  OR total_chars > 10 * n_words THEN 1 ELSE 0 END AS f_ml,
+             CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_sw,
+             CASE WHEN 5 * n_alpha < 4 * n_words THEN 1 ELSE 0 END AS f_al
+      FROM m
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f_wc) AS BIGINT) AS fail_wordcount,
+           CAST(sum(f_ml) AS BIGINT) AS fail_meanlen,
+           CAST(sum(f_sw) AS BIGINT) AS fail_stopword,
+           CAST(sum(f_al) AS BIGINT) AS fail_alpha,
+           CAST(sum(CASE WHEN f_wc + f_ml + f_sw + f_al = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept
+    FROM flags GROUP BY source ORDER BY source
+    """
+
+
+@register("gopher_quality_rules", _gopher_sql())
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filtering (Rae et al. 2021,
+    "Scaling Language Models", App. A1.1) — the standard first-pass filter
+    a pretraining corpus goes through, reported as per-source counters of
+    which rule each document fails plus the kept count: word count in
+    [50, 1e5], mean word length in [3, 10], >= 2 stop words, >= 80% of
+    words fully alphabetic. (The symbol/bullet/ellipsis rules are
+    inapplicable to this corpus's single-line lowercase text and are
+    omitted rather than shipped as always-zero counters.)
+
+    Determinism: every ratio rule is stated as an INTEGER cross-multiply
+    (mean length in [3,10] <=> 3*n_words <= total_chars <= 10*n_words;
+    80% alpha <=> 5*n_alpha >= 4*n_words), so there is no float anywhere —
+    counts are bit-exact cross-engine. Scale shape: all per-doc metrics
+    come from ONE array-side codegen projection over the split text (no
+    explode, no per-token shuffle — the r3 plan lesson), followed by a
+    single map-side-combinable groupBy on the low-cardinality source key."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "source", F.split(F.trim("text"), " ").alias("words")
+    )
+    n_words = F.size("words")
+    total_chars = F.aggregate(
+        F.transform("words", F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    n_stop = F.size(F.filter("words", lambda w: w.isin(*TS.STOPWORDS)))
+    n_alpha = F.size(F.filter("words", lambda w: w.rlike("^[a-z]+$")))
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    m = d.select(
+        "source",
+        flag((n_words < 50) | (n_words > 100000)).alias("f_wc"),
+        flag((total_chars < 3 * n_words) | (total_chars > 10 * n_words)).alias("f_ml"),
+        flag(n_stop < 2).alias("f_sw"),
+        flag(5 * n_alpha < 4 * n_words).alias("f_al"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("f_wc").cast("long").alias("fail_wordcount"),
+            F.sum("f_ml").cast("long").alias("fail_meanlen"),
+            F.sum("f_sw").cast("long").alias("fail_stopword"),
+            F.sum("f_al").cast("long").alias("fail_alpha"),
+            F.sum(
+                F.when(
+                    (F.col("f_wc") + F.col("f_ml") + F.col("f_sw") + F.col("f_al")) == 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "boilerplate_strip",
     f"""
@@ -5266,6 +5356,7 @@ _WINDOW_BACK = [
     # green r1–r4:
     "rolling_fingerprint",  # rotated out for r5's split_leakage_audit
     "ngram_jaccard_pairs",  # rotated out for r5's interval_overlap_join
+    "embedding_cosine_topk",  # rotated out for r5's gopher_quality_rules
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
