@@ -146,6 +146,7 @@ def run(sf_dir: str, cpus: str, *, make_session=None) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     # flagship extraction throughput
     from mit_spark.config import DetectorOptions, PipelineConfig
@@ -237,6 +238,10 @@ def run(sf_dir: str, cpus: str, *, make_session=None) -> dict:
                 t0 = time.time()
                 _force(builder(spark, sf_dir))
                 walls.append(time.time() - t0)
+        except Exception as exc:  # noqa: BLE001 — one bad entry must not
+            # cost the whole suite artifact; record it and keep measuring
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
         finally:
             # the media entry shrinks the file-split conf for its scan;
             # every other entry must run under the session default
@@ -262,6 +267,8 @@ def run(sf_dir: str, cpus: str, *, make_session=None) -> dict:
         "host_probe": _host_probe(),
         "host_probe_before": probe_before,
     }
+    if errors:
+        result["errors"] = errors
     result["host_quiet"] = (
         max(probe_before["membw_sec"], result["host_probe"]["membw_sec"]) <= MEMBW_GATE
     )
@@ -287,10 +294,25 @@ def main() -> int:
             break
     best = min(attempts, key=lambda r: r["value"])
     merged = dict(best)
+    # union of entry names across attempts: an entry that errored in one
+    # attempt but timed in another keeps its best timing; an entry that
+    # errored in EVERY attempt stays in "errors" only
+    all_names = {n for a in attempts for n in a["queries"]}
     merged["queries"] = {
-        name: min(a["queries"][name] for a in attempts) for name in best["queries"]
+        name: min(a["queries"][name] for a in attempts if name in a["queries"])
+        for name in all_names
     }
     merged["value"] = round(sum(merged["queries"].values()), 3)
+    always_err = {
+        n: a["errors"][n]
+        for a in attempts
+        for n in a.get("errors", {})
+        if n not in all_names
+    }
+    if always_err:
+        merged["errors"] = always_err
+    elif "errors" in merged:
+        del merged["errors"]
     # flagship throughput from the attempt whose flagship pass was fastest
     fbest = min(attempts, key=lambda a: a["queries"]["flagship_extract"])
     merged["flagship"] = fbest["flagship"]
