@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "sequence_pack",
     "streaming_windowed_stats",
+    "streaming_session_windows",
     "media_channel_stats",
     # round 4: new operators + previously-unbenched round-3 families
     "substring_dedup_runs",

@@ -3253,6 +3253,70 @@ def streaming_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("hour", "event_type")
 
 
+@register(
+    "streaming_session_windows",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tagged AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end,
+             count(*) AS n_events
+      FROM tagged GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM sess, mx
+    WHERE s_end <= m - INTERVAL 1 HOUR
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION WINDOWS under the SQL gate: the event stream is
+    grouped by Spark's native session_window(ts, '30 minutes') per user
+    with a 1 h watermark and drained availableNow in APPEND mode — the
+    variable-length stateful window the fixed window() entry can't
+    express (per-key session state merges across micro-batches; a session
+    closes only when the watermark passes its last-event + gap end). The
+    oracle replays the same semantics as plain batch gap-sessionization
+    (new session when the gap >= 30 min — session windows are half-open,
+    so an exactly-gap-sized step does NOT merge) with the watermark
+    cutoff session_end <= max(ts) - 1 h applied in SQL, which makes the
+    bounded drain a deterministic pure function of the input. At scale
+    the session state store is hash-partitioned on user_id across
+    executors like any keyed stream — no driver state."""
+    import shutil
+
+    from mit_spark.streaming.micro_batch import session_window_stats
+
+    src = f"{sf_dir}/events.parquet"
+    base = _staging_dir(sf_dir, "events", "v1")
+
+    def _build():
+        if os.path.isdir(src):
+            for f_ in os.listdir(src):
+                if f_.endswith(".parquet"):
+                    shutil.copy(os.path.join(src, f_), base)
+        else:
+            shutil.copy(src, base)
+
+    _staged(base, _build)
+    out = session_window_stats(spark, base, name=f"ssw_{os.path.basename(base)}")
+    return out.orderBy("user_id", "session_start")
+
+
 def _minhash_verify_sql() -> str:
     mh = ",\n             ".join(f"min(d[{5*j+1}:{5*j+5}]) AS mh{j}" for j in range(6))
     return f"""
@@ -5357,6 +5421,7 @@ _WINDOW_BACK = [
     "rolling_fingerprint",  # rotated out for r5's split_leakage_audit
     "ngram_jaccard_pairs",  # rotated out for r5's interval_overlap_join
     "embedding_cosine_topk",  # rotated out for r5's gopher_quality_rules
+    "embedding_lsh_buckets",  # rotated out for r5's streaming_session_windows
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats

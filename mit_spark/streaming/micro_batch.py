@@ -172,3 +172,48 @@ def windowed_event_stats(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def session_window_stats(
+    spark: SparkSession,
+    events_path: str,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    name: str = "session_window_stats",
+):
+    """Native SESSION WINDOWS over an event-time stream (SURVEY.md §2.8):
+    groupBy(session_window(ts, gap), user_id) with a watermark, drained
+    with availableNow in APPEND mode. Spark merges per-key session state
+    across micro-batches (variable-length windows, unlike the fixed
+    window() aggregation above) and emits a session only once its end
+    (last event + gap) falls behind the watermark — the streaming twin of
+    the batch gap-sessionization in `user_sessions`/`interval_overlap_join`.
+    On a bounded drain the emitted set is a deterministic pure function of
+    the input (session_end <= max(ts) - delay), so a plain SQL
+    sessionization oracle can value-check it."""
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
