@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "split_leakage_audit",
     "interval_overlap_join",
     "gopher_quality_rules",
+    "keyword_search_topk",
     "decontaminate_ngrams",
     "pii_redaction",
     "events_asof_join",

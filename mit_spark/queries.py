@@ -3253,6 +3253,103 @@ def streaming_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("hour", "event_type")
 
 
+_KW_QUERIES = [
+    (0, ("spark", "merge")),
+    (1, ("window", "join", "sort")),
+    (2, ("customer", "table")),
+    (3, ("dup", "vector")),  # one rare + one common term: selective postings
+]
+_KW_TOPK = 5
+
+
+def _kw_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _KW_QUERIES for t in terms
+    )
+    return f"""
+    WITH q(query_id, term) AS (VALUES {vals}),
+         qsize AS (SELECT query_id, count(*) AS k FROM q GROUP BY query_id),
+         tok AS (
+           SELECT doc_id, unnest(split(trim(text), ' ')) AS term FROM documents
+         ),
+         postings AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN (SELECT DISTINCT term FROM q)
+           GROUP BY doc_id, term
+         ),
+         hits AS (
+           SELECT q.query_id, p.doc_id,
+                  count(*) AS n_terms, sum(p.tf) AS score
+           FROM q JOIN postings p ON q.term = p.term
+           GROUP BY q.query_id, p.doc_id
+         ),
+         ranked AS (
+           SELECT h.query_id, h.doc_id, h.score,
+                  row_number() OVER (PARTITION BY h.query_id
+                                     ORDER BY h.score DESC, h.doc_id) AS rn
+           FROM hits h JOIN qsize s ON h.query_id = s.query_id
+           WHERE h.n_terms = s.k
+         )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           CAST(score AS BIGINT) AS score, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_KW_TOPK}
+    ORDER BY query_id, rn
+    """
+
+
+@register("keyword_search_topk", _kw_sql())
+def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword retrieval over an inverted index — the classic
+    posting-list shape none of the similarity entries cover: docs must
+    contain ALL of a query's terms, ranked by summed term frequency
+    (integer score, doc_id tie-break). Scale shape: the postings table
+    (doc_id, term, tf) is the materialized inverted index — built with one
+    combinable groupBy, term-keyed so each query touches only its terms'
+    posting lists, never the corpus; the tiny query table broadcasts onto
+    the postings, conjunction is a HAVING count(matched terms) = |query|
+    on the (query, doc) group, and top-k is a per-query window over hit
+    docs only. The term filter prunes the postings build to the union of
+    query terms (a 9-term IN list the scan can evaluate post-split,
+    array-side). Query 3 pairs a rare term ('dup', ~3% of docs) with a
+    common one — posting-list intersection does the selectivity work, the
+    standard retrieval asymmetry. All-integer output, bit-exact."""
+    terms = [(qid, t) for qid, ts in _KW_QUERIES for t in ts]
+    q = spark.createDataFrame(terms, "query_id long, term string")
+    qsize = q.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    allowed = sorted({t for _, t in terms})
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("words")
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.filter("words", lambda w: w.isin(*allowed))).alias("term")
+    )
+    postings = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    hits = (
+        F.broadcast(q)
+        .join(postings, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("tf").alias("score"))
+    )
+    conj = hits.join(F.broadcast(qsize), "query_id").filter(
+        F.col("n_terms") == F.col("k")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    )
+    return (
+        conj.withColumn("rn", rn)
+        .filter(F.col("rn") <= _KW_TOPK)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "doc_id",
+            F.col("score").cast("long").alias("score"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+        .orderBy("query_id", "rn")
+    )
+
+
 @register(
     "streaming_session_windows",
     """
@@ -5422,6 +5519,7 @@ _WINDOW_BACK = [
     "ngram_jaccard_pairs",  # rotated out for r5's interval_overlap_join
     "embedding_cosine_topk",  # rotated out for r5's gopher_quality_rules
     "embedding_lsh_buckets",  # rotated out for r5's streaming_session_windows
+    "simhash_fingerprint",  # rotated out for r5's keyword_search_topk
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
