@@ -294,15 +294,28 @@ def main() -> int:
         attempts.append(run(sf_dir, cpus))
         if len(attempts) >= min_attempts and any(a["host_quiet"] for a in attempts):
             break
-    best = min(attempts, key=lambda r: r["value"])
+    # "best" supplies the merged artifact's provenance fields (host probes,
+    # host_quiet): pick it among the attempts with the MOST completed
+    # entries first — an attempt where an expensive entry crashed would
+    # otherwise win on suite total and stamp the record with the wrong
+    # phase — then by total among those
+    most_complete = max(len(a["queries"]) for a in attempts)
+    best = min(
+        (a for a in attempts if len(a["queries"]) == most_complete),
+        key=lambda r: r["value"],
+    )
     merged = dict(best)
     # union of entry names across attempts: an entry that errored in one
     # attempt but timed in another keeps its best timing; an entry that
-    # errored in EVERY attempt stays in "errors" only
+    # errored in EVERY attempt stays in "errors" only. Names are ordered
+    # canonically (flagship, then BENCH_QUERIES order) so the JSON artifact
+    # is byte-stable across runs and diffable against prior rounds.
     all_names = {n for a in attempts for n in a["queries"]}
+    ordered = [n for n in ["flagship_extract", *BENCH_QUERIES] if n in all_names]
+    ordered += sorted(all_names.difference(ordered))
     merged["queries"] = {
         name: min(a["queries"][name] for a in attempts if name in a["queries"])
-        for name in all_names
+        for name in ordered
     }
     merged["value"] = round(sum(merged["queries"].values()), 3)
     always_err = {

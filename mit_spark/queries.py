@@ -1803,11 +1803,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_sql() -> str:
+def _ivf_cte_sql() -> str:
+    """The shared IVF index-build CTE block (v / pos / cent / assigned) —
+    the SQL mirror of `_ivf_assign`, used by every IVF-family oracle so
+    the index definition exists exactly once per engine."""
     d_qc = _emb_fold_sql("v.e", "c.arr", "l2")
-    d_qn = _emb_fold_sql("q.e", "n.e", "l2")
-    return f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+    return f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                       vec_id % 8 AS cell0 FROM embeddings),
          pos AS (SELECT cell0, unnest(e) AS val, generate_subscripts(e, 1) AS p FROM v),
          cent AS (
@@ -1822,7 +1823,13 @@ def _ivf_sql() -> str:
                                        ORDER BY {d_qc}, c.cell) AS rn
              FROM v CROSS JOIN cent c
            ) WHERE rn = 1
-         )
+         )"""
+
+
+def _ivf_sql() -> str:
+    d_qn = _emb_fold_sql("q.e", "n.e", "l2")
+    return f"""
+    WITH {_ivf_cte_sql()}
     SELECT q_id, n_id, d2 FROM (
       SELECT q.vec_id AS q_id, n.vec_id AS n_id, round({d_qn}, 6) AS d2,
              row_number() OVER (PARTITION BY q.vec_id
@@ -1845,12 +1852,13 @@ def _l2_fold(x, y):
     )
 
 
-def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared IVF index build: coarse quantizer from one Lloyd iteration
-    over the deterministic seed assignment vec_id % 8 (centroids rounded to
-    3dp so both engines' avg() agree bit-for-bit), then every vector
-    assigned to its nearest centroid. Returns (vec_id, e, cell) — the
-    inverted lists both ANN entries probe."""
+def _ivf_vc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared IVF index build, distance stage: coarse quantizer from one
+    Lloyd iteration over the deterministic seed assignment vec_id % 8
+    (centroids rounded to 3dp so both engines' avg() agree bit-for-bit),
+    then every (vector, centroid) pair with its squared distance. Returns
+    (vec_id, e, cell, d2) — rank it per vec_id for assignment (rn = 1) or
+    multiprobe (rn <= nprobe)."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
@@ -1867,11 +1875,26 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("arr")
         )
     )
-    vc = emb.crossJoin(F.broadcast(cent)).withColumn(
+    return emb.crossJoin(F.broadcast(cent)).withColumn(
         "d2", _l2_fold(F.col("e"), F.col("arr"))
     )
-    rn = F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cell"))
-    return vc.withColumn("rn", rn).filter(F.col("rn") == 1).select("vec_id", "e", "cell")
+
+
+def _ivf_rn() -> Column:
+    """Rank of a (vector, centroid) pair within its vector, nearest first
+    (d2 then cell tie-break) — built lazily because Column construction
+    needs an active SparkContext."""
+    return F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cell"))
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared IVF index build: every vector assigned to its nearest
+    centroid. Returns (vec_id, e, cell) — the inverted lists every
+    IVF-family entry probes."""
+    vc = _ivf_vc(spark, sf_dir)
+    return (
+        vc.withColumn("rn", _ivf_rn()).filter(F.col("rn") == 1).select("vec_id", "e", "cell")
+    )
 
 
 @register("ann_ivf_topk", _ivf_sql())
@@ -1905,124 +1928,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RECALL_K = 3
 _RECALL_N_QUERIES = 32  # query panel: vec_id < 32
-
-
-def _recall_sql() -> str:
-    d_qc = _emb_fold_sql("v.e", "c.arr", "l2")
-    d_qn = _emb_fold_sql("q.e", "n.e", "l2")
-    return f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-                      vec_id % 8 AS cell0 FROM embeddings),
-         pos AS (SELECT cell0, unnest(e) AS val, generate_subscripts(e, 1) AS p FROM v),
-         cent AS (
-           SELECT cell0 AS cell, list(round(avg_val, 3) ORDER BY p) AS arr FROM (
-             SELECT cell0, p, avg(val) AS avg_val FROM pos GROUP BY cell0, p
-           ) GROUP BY cell0
-         ),
-         assigned AS (
-           SELECT vec_id, e, cell FROM (
-             SELECT v.vec_id, v.e, c.cell, {d_qc} AS d2,
-                    row_number() OVER (PARTITION BY v.vec_id
-                                       ORDER BY {d_qc}, c.cell) AS rn
-             FROM v CROSS JOIN cent c
-           ) WHERE rn = 1
-         ),
-         ivf AS (
-           SELECT q_id, n_id FROM (
-             SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-                    row_number() OVER (PARTITION BY q.vec_id
-                                       ORDER BY {d_qn}, n.vec_id) AS rn
-             FROM assigned q JOIN assigned n
-               ON q.cell = n.cell AND q.vec_id <> n.vec_id
-             WHERE q.vec_id < {_RECALL_N_QUERIES}
-           ) WHERE rn <= {_RECALL_K}
-         ),
-         exact AS (
-           SELECT q_id, n_id FROM (
-             SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-                    row_number() OVER (PARTITION BY q.vec_id
-                                       ORDER BY {d_qn}, n.vec_id) AS rn
-             FROM v q JOIN v n ON q.vec_id <> n.vec_id
-             WHERE q.vec_id < {_RECALL_N_QUERIES}
-           ) WHERE rn <= {_RECALL_K}
-         )
-    SELECT CAST({_RECALL_K} AS BIGINT) AS k,
-           CAST(count(DISTINCT e.q_id) AS BIGINT) AS n_queries,
-           CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_hits,
-           CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / ({_RECALL_K} * count(DISTINCT e.q_id)) AS recall
-    FROM exact e LEFT JOIN ivf i ON e.q_id = i.q_id AND e.n_id = i.n_id
-    """
-
-
-@register("ann_recall_eval", _recall_sql())
-def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the IVF scale path against exact brute force — the
-    quality dial an ANN deployment tunes (cells probed vs recall) before
-    trusting bucket-local search at corpus scale. A 32-query panel gets
-    top-3 neighbors twice: EXACT via brute force (broadcast the panel, one
-    nested-loop pass over all vectors — cost n x |panel|, LINEAR in the
-    corpus, which is what makes ground-truth eval affordable at 100 TB on a
-    sample even when full brute-force search is not) and IVF probing only
-    the query's cell (shared index build `_ivf_assign`, same inverted lists
-    as `ann_ivf_topk`). One LEFT join counts the overlap; output is a
-    single row (k, n_queries, n_hits, recall) — integer counts plus ONE
-    int/int double division, bit-exact cross-engine. Both rankings break
-    distance ties by n_id in both engines, and distances are index-order
-    folds, so the two top-k sets are deterministic."""
-    assigned = _ivf_assign(spark, sf_dir)
-
-    q = assigned.filter(F.col("vec_id") < _RECALL_N_QUERIES).alias("q")
-    n = assigned.alias("n")
-    ivf_pairs = q.join(
-        n, (F.col("q.cell") == F.col("n.cell")) & (F.col("q.vec_id") != F.col("n.vec_id"))
-    ).select(
-        F.col("q.vec_id").alias("q_id"),
-        F.col("n.vec_id").alias("n_id"),
-        _l2_fold(F.col("q.e"), F.col("n.e")).alias("d2_raw"),
-    )
-    rn_ivf = F.row_number().over(Window.partitionBy("q_id").orderBy("d2_raw", "n_id"))
-    ivf = (
-        ivf_pairs.withColumn("rn", rn_ivf)
-        .filter(F.col("rn") <= _RECALL_K)
-        .select("q_id", "n_id")
-    )
-
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    qv = emb.filter(F.col("vec_id") < _RECALL_N_QUERIES).alias("q")
-    nv = emb.alias("n")
-    bf_pairs = (
-        F.broadcast(qv)
-        .join(nv, F.col("q.vec_id") != F.col("n.vec_id"))
-        .select(
-            F.col("q.vec_id").alias("q_id"),
-            F.col("n.vec_id").alias("n_id"),
-            _l2_fold(F.col("q.e"), F.col("n.e")).alias("d2_raw"),
-        )
-    )
-    rn_bf = F.row_number().over(Window.partitionBy("q_id").orderBy("d2_raw", "n_id"))
-    exact = (
-        bf_pairs.withColumn("rn", rn_bf)
-        .filter(F.col("rn") <= _RECALL_K)
-        .select("q_id", "n_id")
-    )
-
-    joined = exact.join(ivf.withColumn("hit", F.lit(1)), ["q_id", "n_id"], "left")
-    agg = joined.agg(
-        F.countDistinct("q_id").cast("long").alias("n_queries"),
-        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
-    )
-    return agg.select(
-        F.lit(_RECALL_K).cast("long").alias("k"),
-        "n_queries",
-        "n_hits",
-        (
-            F.col("n_hits").cast("double") / (F.lit(_RECALL_K) * F.col("n_queries"))
-        ).alias("recall"),
-    )
 
 
 def _exact_panel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2073,6 +1978,75 @@ def _exact_cte_sql() -> str:
          )"""
 
 
+def _recall_sql() -> str:
+    d_qn = _emb_fold_sql("q.e", "n.e", "l2")
+    return f"""
+    WITH {_ivf_cte_sql()},
+         ivf AS (
+           SELECT q_id, n_id FROM (
+             SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY {d_qn}, n.vec_id) AS rn
+             FROM assigned q JOIN assigned n
+               ON q.cell = n.cell AND q.vec_id <> n.vec_id
+             WHERE q.vec_id < {_RECALL_N_QUERIES}
+           ) WHERE rn <= {_RECALL_K}
+         ),
+         {_exact_cte_sql()}
+    SELECT CAST({_RECALL_K} AS BIGINT) AS k,
+           CAST(count(DISTINCT e.q_id) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / ({_RECALL_K} * count(DISTINCT e.q_id)) AS recall
+    FROM exact e LEFT JOIN ivf i ON e.q_id = i.q_id AND e.n_id = i.n_id
+    """
+
+
+@register("ann_recall_eval", _recall_sql())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF scale path against exact brute force — the
+    quality dial an ANN deployment tunes (cells probed vs recall) before
+    trusting bucket-local search at corpus scale. A 32-query panel gets
+    top-3 neighbors twice: EXACT via brute force (broadcast the panel, one
+    nested-loop pass over all vectors — cost n x |panel|, LINEAR in the
+    corpus, which is what makes ground-truth eval affordable at 100 TB on a
+    sample even when full brute-force search is not) and IVF probing only
+    the query's cell (shared index build `_ivf_assign`, same inverted lists
+    as `ann_ivf_topk`). One LEFT join counts the overlap; output is a
+    single row (k, n_queries, n_hits, recall) — integer counts plus ONE
+    int/int double division, bit-exact cross-engine. Both rankings break
+    distance ties by n_id in both engines, and distances are index-order
+    folds, so the two top-k sets are deterministic."""
+    assigned = _ivf_assign(spark, sf_dir)
+
+    q = assigned.filter(F.col("vec_id") < _RECALL_N_QUERIES).alias("q")
+    n = assigned.alias("n")
+    ivf_pairs = q.join(
+        n, (F.col("q.cell") == F.col("n.cell")) & (F.col("q.vec_id") != F.col("n.vec_id"))
+    ).select(
+        F.col("q.vec_id").alias("q_id"),
+        F.col("n.vec_id").alias("n_id"),
+        _l2_fold(F.col("q.e"), F.col("n.e")).alias("d2_raw"),
+    )
+    rn_ivf = F.row_number().over(Window.partitionBy("q_id").orderBy("d2_raw", "n_id"))
+    ivf = (
+        ivf_pairs.withColumn("rn", rn_ivf)
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("q_id", "n_id")
+    )
+
+    agg = _recall_agg(_exact_panel_topk(spark, sf_dir), ivf)
+    return agg.select(
+        F.lit(_RECALL_K).cast("long").alias("k"),
+        "n_queries",
+        "n_hits",
+        (
+            F.col("n_hits").cast("double") / (F.lit(_RECALL_K) * F.col("n_queries"))
+        ).alias("recall"),
+    )
+
+
 _MULTIPROBE = 2
 
 
@@ -2080,22 +2054,7 @@ def _multiprobe_sql() -> str:
     d_qc = _emb_fold_sql("v.e", "c.arr", "l2")
     d_pn = _emb_fold_sql("p.e", "n.e", "l2")
     return f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-                      vec_id % 8 AS cell0 FROM embeddings),
-         pos AS (SELECT cell0, unnest(e) AS val, generate_subscripts(e, 1) AS p FROM v),
-         cent AS (
-           SELECT cell0 AS cell, list(round(avg_val, 3) ORDER BY p) AS arr FROM (
-             SELECT cell0, p, avg(val) AS avg_val FROM pos GROUP BY cell0, p
-           ) GROUP BY cell0
-         ),
-         assigned AS (
-           SELECT vec_id, e, cell FROM (
-             SELECT v.vec_id, v.e, c.cell, {d_qc} AS d2,
-                    row_number() OVER (PARTITION BY v.vec_id
-                                       ORDER BY {d_qc}, c.cell) AS rn
-             FROM v CROSS JOIN cent c
-           ) WHERE rn = 1
-         ),
+    WITH {_ivf_cte_sql()},
          probes AS (
            SELECT q_id, e, cell FROM (
              SELECT v.vec_id AS q_id, v.e, c.cell,
@@ -2140,31 +2099,13 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, and no neighbor appears twice (each vector lives in exactly one
     cell). Output is one row of integer counts + one int/int division —
     bit-exact cross-engine; ties broken by n_id in both rankings."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-        (F.col("vec_id") % 8).alias("cell0"),
+    vc = _ivf_vc(spark, sf_dir)
+    assigned = (
+        vc.withColumn("rn", _ivf_rn()).filter(F.col("rn") == 1).select("vec_id", "e", "cell")
     )
-    pos = emb.select("cell0", F.posexplode("e").alias("p", "val"))
-    cent = (
-        pos.groupBy("cell0", "p")
-        .agg(F.round(F.avg("val"), 3).alias("avg_val"))
-        .groupBy(F.col("cell0").alias("cell"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "avg_val"))), lambda s: s["avg_val"]
-            ).alias("arr")
-        )
-    )
-    vc = emb.crossJoin(F.broadcast(cent)).withColumn(
-        "d2", _l2_fold(F.col("e"), F.col("arr"))
-    )
-    rn = F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cell"))
-    assigned = vc.withColumn("rn", rn).filter(F.col("rn") == 1).select("vec_id", "e", "cell")
-
     probes = (
         vc.filter(F.col("vec_id") < _RECALL_N_QUERIES)
-        .withColumn("rn", rn)
+        .withColumn("rn", _ivf_rn())
         .filter(F.col("rn") <= _MULTIPROBE)
         .select(F.col("vec_id").alias("q_id"), "e", "cell")
         .alias("p")
@@ -3210,6 +3151,28 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("doc_id", "content_hash").orderBy("doc_id")
 
 
+def _stage_events(sf_dir: str) -> str:
+    """The events table staged as a directory of parquet files — the file
+    stream source requires a DIRECTORY; built once per sf_dir behind a
+    marker (same idempotent pattern as streaming_drain) and shared by
+    every streaming entry that reads the event stream."""
+    import shutil
+
+    src = f"{sf_dir}/events.parquet"
+    base = _staging_dir(sf_dir, "events", "v1")
+
+    def _build():
+        if os.path.isdir(src):
+            for f_ in os.listdir(src):
+                if f_.endswith(".parquet"):
+                    shutil.copy(os.path.join(src, f_), base)
+        else:
+            shutil.copy(src, base)
+
+    _staged(base, _build)
+    return base
+
+
 @register(
     "streaming_windowed_stats",
     """
@@ -3231,24 +3194,9 @@ def streaming_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure function of the input — the oracle applies the same cutoff in SQL.
     The two open trailing windows stay in (discarded) state, which is the
     late-data semantics the north rule's streaming stage needs at scale."""
-    import shutil
-
     from mit_spark.streaming.micro_batch import windowed_event_stats
 
-    src = f"{sf_dir}/events.parquet"
-    # the file stream source requires a DIRECTORY: stage the events file(s)
-    # once behind a marker (same idempotent pattern as streaming_drain)
-    base = _staging_dir(sf_dir, "events", "v1")
-
-    def _build():
-        if os.path.isdir(src):
-            for f_ in os.listdir(src):
-                if f_.endswith(".parquet"):
-                    shutil.copy(os.path.join(src, f_), base)
-        else:
-            shutil.copy(src, base)
-
-    _staged(base, _build)
+    base = _stage_events(sf_dir)
     out = windowed_event_stats(spark, base, name=f"wes_{os.path.basename(base)}")
     return out.orderBy("hour", "event_type")
 
@@ -3394,22 +3342,9 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded drain a deterministic pure function of the input. At scale
     the session state store is hash-partitioned on user_id across
     executors like any keyed stream — no driver state."""
-    import shutil
-
     from mit_spark.streaming.micro_batch import session_window_stats
 
-    src = f"{sf_dir}/events.parquet"
-    base = _staging_dir(sf_dir, "events", "v1")
-
-    def _build():
-        if os.path.isdir(src):
-            for f_ in os.listdir(src):
-                if f_.endswith(".parquet"):
-                    shutil.copy(os.path.join(src, f_), base)
-        else:
-            shutil.copy(src, base)
-
-    _staged(base, _build)
+    base = _stage_events(sf_dir)
     out = session_window_stats(spark, base, name=f"ssw_{os.path.basename(base)}")
     return out.orderBy("user_id", "session_start")
 
@@ -3529,6 +3464,39 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_pairs(spark: SparkSession, sf_dir: str):
+    """The verified near-dup pair list as a staged parquet artifact —
+    built at most once per sf_dir (the expensive minhash->verify pipeline)
+    and read by every consumer (dedup_clusters, split_leakage_audit).
+    Returns (pairs DataFrame with columns doc_a/doc_b, staged path)."""
+    base = _staging_dir(sf_dir, "dedup_pairs", "v1")
+    pairs_path = os.path.join(base, "pairs")
+    _staged(
+        base,
+        lambda: minhash_verified_dups(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .write.mode("overwrite")
+        .parquet(pairs_path),
+    )
+    return spark.read.parquet(pairs_path), pairs_path
+
+
+def _staged_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters' (doc_id, cluster_id) labels as a staged parquet
+    artifact: the iterative fixpoint runs at most once per sf_dir; every
+    downstream consumer (split_leakage_audit) reads the materialized
+    table — the same discipline as the kmeans labels staging."""
+    base = _staging_dir(sf_dir, "dedup_labels", "v1")
+    labels_path = os.path.join(base, "labels")
+    _staged(
+        base,
+        lambda: dedup_clusters(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(labels_path),
+    )
+    return spark.read.parquet(labels_path)
+
+
 def _dedup_clusters_sql() -> str:
     """Recursive-CTE oracle for connected components over the verified
     dup pairs: cluster_id = min doc_id reachable through the (undirected)
@@ -3582,16 +3550,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the staged pair list instead of recomputing the candidate generation;
     at production scale this is the "verified pairs are a materialized
     upstream table" shape a 100 TB dedup run would use anyway."""
-    base = _staging_dir(sf_dir, "dedup_pairs", "v1")
-    pairs_path = os.path.join(base, "pairs")
-    _staged(
-        base,
-        lambda: minhash_verified_dups(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .write.mode("overwrite")
-        .parquet(pairs_path),
-    )
-    pairs = spark.read.parquet(pairs_path)
+    pairs, pairs_path = _staged_pairs(spark, sf_dir)
     # graph parallelism is DATA-DERIVED from the staged pair-file size (free:
     # a filesystem stat, no Spark action): ~64 MB of edge data per partition
     # keeps fixpoint-round tasks meaty at this scale while a billion-edge
@@ -3719,24 +3678,16 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(cluster_id) from dedup_clusters, and since every verified pair is
     by construction inside one connected component, its leakage is ZERO —
     the audit PROVES the cluster-aware split is safe rather than asserting
-    it. Scale shape: pure composition of two staged artifacts (the
-    verified-pairs parquet — the SAME staging dedup_clusters reads, built
-    at most once per sf_dir — and the cluster labels) — the audit itself
-    is two broadcast-sized joins on the pair graph plus counts, never a
-    corpus-wide pass; md5-split assignment is deterministic and
-    coordination-free (any worker can re-derive any doc's side). Output is
-    integer counts + one int/int division, bit-exact cross-engine."""
-    base = _staging_dir(sf_dir, "dedup_pairs", "v1")
-    pairs_path = os.path.join(base, "pairs")
-    _staged(
-        base,
-        lambda: minhash_verified_dups(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .write.mode("overwrite")
-        .parquet(pairs_path),
-    )
-    pairs = spark.read.parquet(pairs_path)
-    cl = dedup_clusters(spark, sf_dir)
+    it. Scale shape: pure composition of two staged artifacts — the
+    verified-pairs parquet (the SAME staging dedup_clusters reads, built
+    at most once per sf_dir) and the staged cluster labels (the fixpoint
+    also runs at most once per sf_dir) — so the audit itself is two
+    pair-graph-sized joins plus counts, never a corpus-wide pass;
+    md5-split assignment is deterministic and coordination-free (any
+    worker can re-derive any doc's side). Output is integer counts + one
+    int/int division, bit-exact cross-engine."""
+    pairs, _ = _staged_pairs(spark, sf_dir)
+    cl = _staged_cluster_labels(spark, sf_dir)
 
     def split_of(c: Column) -> Column:
         return F.when(
