@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "interval_overlap_join",
     "gopher_quality_rules",
     "keyword_search_topk",
+    "hybrid_rrf_fusion",
     "decontaminate_ngrams",
     "pii_redaction",
     "events_asof_join",

@@ -3210,13 +3210,30 @@ _KW_QUERIES = [
 _KW_TOPK = 5
 
 
-def _kw_sql() -> str:
+def _kw_postings(spark: SparkSession, sf_dir: str):
+    """The query-term table and the pruned inverted postings table
+    (doc_id, term, tf) shared by the retrieval entries: the IN filter over
+    the union of query terms is applied array-side BEFORE the explode, and
+    the postings build is one combinable groupBy."""
+    terms = [(qid, t) for qid, ts in _KW_QUERIES for t in ts]
+    q = spark.createDataFrame(terms, "query_id long, term string")
+    allowed = sorted({t for _, t in terms})
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("words")
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.filter("words", lambda w: w.isin(*allowed))).alias("term")
+    )
+    postings = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return q, postings
+
+
+def _kw_postings_cte_sql() -> str:
+    """The q / tok / postings CTE block shared by the retrieval oracles."""
     vals = ", ".join(
         f"({qid}, '{t}')" for qid, terms in _KW_QUERIES for t in terms
     )
-    return f"""
-    WITH q(query_id, term) AS (VALUES {vals}),
-         qsize AS (SELECT query_id, count(*) AS k FROM q GROUP BY query_id),
+    return f"""q(query_id, term) AS (VALUES {vals}),
          tok AS (
            SELECT doc_id, unnest(split(trim(text), ' ')) AS term FROM documents
          ),
@@ -3224,7 +3241,13 @@ def _kw_sql() -> str:
            SELECT doc_id, term, count(*) AS tf FROM tok
            WHERE term IN (SELECT DISTINCT term FROM q)
            GROUP BY doc_id, term
-         ),
+         )"""
+
+
+def _kw_sql() -> str:
+    return f"""
+    WITH {_kw_postings_cte_sql()},
+         qsize AS (SELECT query_id, count(*) AS k FROM q GROUP BY query_id),
          hits AS (
            SELECT q.query_id, p.doc_id,
                   count(*) AS n_terms, sum(p.tf) AS score
@@ -3261,18 +3284,8 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     array-side). Query 3 pairs a rare term ('dup', ~3% of docs) with a
     common one — posting-list intersection does the selectivity work, the
     standard retrieval asymmetry. All-integer output, bit-exact."""
-    terms = [(qid, t) for qid, ts in _KW_QUERIES for t in ts]
-    q = spark.createDataFrame(terms, "query_id long, term string")
+    q, postings = _kw_postings(spark, sf_dir)
     qsize = q.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
-    allowed = sorted({t for _, t in terms})
-
-    d = read_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.trim("text"), " ").alias("words")
-    )
-    tok = d.select(
-        "doc_id", F.explode(F.filter("words", lambda w: w.isin(*allowed))).alias("term")
-    )
-    postings = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     hits = (
         F.broadcast(q)
         .join(postings, "term")
@@ -3292,6 +3305,137 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("query_id").cast("long").alias("query_id"),
             "doc_id",
             F.col("score").cast("long").alias("score"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+        .orderBy("query_id", "rn")
+    )
+
+
+_RRF_C = 60  # the standard RRF constant (Cormack et al. 2009)
+_RRF_LIST = 20  # per-modality candidate list depth
+_RRF_TOPK = 5
+
+
+def _rrf_sql() -> str:
+    d_qn = _emb_fold_sql("qv.e", "n.e", "l2")
+    return f"""
+    WITH {_kw_postings_cte_sql()},
+         kw AS (
+           SELECT query_id, doc_id, r FROM (
+             SELECT q.query_id, p.doc_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                                       ORDER BY sum(p.tf) DESC, p.doc_id) AS r
+             FROM q JOIN postings p ON q.term = p.term
+             GROUP BY q.query_id, p.doc_id
+           ) WHERE r <= {_RRF_LIST}
+         ),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         sem AS (
+           SELECT query_id, doc_id, r FROM (
+             SELECT s.query_id, n.vec_id AS doc_id,
+                    row_number() OVER (PARTITION BY s.query_id
+                                       ORDER BY {d_qn}, n.vec_id) AS r
+             FROM (SELECT DISTINCT query_id FROM q) s
+             JOIN v qv ON qv.vec_id = s.query_id
+             JOIN v n ON n.vec_id <> s.query_id
+           ) WHERE r <= {_RRF_LIST}
+         ),
+         fused AS (
+           SELECT query_id, doc_id, sum(1.0 / ({_RRF_C} + r)) AS rrf FROM (
+             SELECT query_id, doc_id, r FROM kw
+             UNION ALL
+             SELECT query_id, doc_id, r FROM sem
+           ) GROUP BY query_id, doc_id
+         ),
+         ranked AS (
+           SELECT query_id, doc_id, rrf,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf DESC, doc_id) AS rn
+           FROM fused
+         )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           round(rrf, 6) AS rrf_score, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_RRF_TOPK}
+    ORDER BY query_id, rn
+    """
+
+
+@register("hybrid_rrf_fusion", _rrf_sql())
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    each query fuses a LEXICAL candidate list (disjunctive keyword rank
+    over the shared inverted postings — docs matching any query term,
+    ranked by summed tf) with a SEMANTIC one (L2 rank of every vector
+    against the query's seed embedding vec_id = query_id, the 1:1
+    doc<->vector correspondence in this corpus), scoring each doc
+    sum(1/(60 + rank)) over the lists it appears in and keeping the top 5.
+    RRF is the standard fusion when score scales are incomparable (integer
+    tf vs float distance) — only RANKS cross the modality boundary.
+
+    Determinism: each rank list breaks ties by doc_id; an RRF score is a
+    sum of at most TWO doubles of the form 1/(60+r) computed identically
+    in both engines (IEEE addition of two values is order-insensitive),
+    and the final ordering breaks score ties by doc_id. Scale shape: the
+    postings side is the keyword_search_topk plan; the semantic side is a
+    |queries|-row broadcast against the vector table (linear, the ANN
+    entries show the bucketed path); the fusion itself touches only the
+    2 x 20 x |queries| candidate rows."""
+    q, postings = _kw_postings(spark, sf_dir)
+    kw_scored = (
+        F.broadcast(q)
+        .join(postings, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tf").alias("score"))
+    )
+    rn_kw = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    )
+    kw = (
+        kw_scored.withColumn("r", rn_kw)
+        .filter(F.col("r") <= _RRF_LIST)
+        .select("query_id", "doc_id", "r")
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    seeds = q.select("query_id").distinct()
+    qv = (
+        F.broadcast(seeds)
+        .join(emb, seeds.query_id == emb.vec_id)
+        .select("query_id", F.col("e").alias("qe"))
+    )
+    sem_pairs = (
+        F.broadcast(qv)
+        .join(emb.alias("n"), F.col("query_id") != F.col("n.vec_id"))
+        .select(
+            "query_id",
+            F.col("n.vec_id").alias("doc_id"),
+            _l2_fold(F.col("qe"), F.col("n.e")).alias("d2"),
+        )
+    )
+    rn_sem = F.row_number().over(Window.partitionBy("query_id").orderBy("d2", "doc_id"))
+    sem = (
+        sem_pairs.withColumn("r", rn_sem)
+        .filter(F.col("r") <= _RRF_LIST)
+        .select("query_id", "doc_id", "r")
+    )
+
+    fused = (
+        kw.unionByName(sem)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.lit(1.0) / (F.lit(_RRF_C) + F.col("r"))).alias("rrf"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    )
+    return (
+        fused.withColumn("rn", rn)
+        .filter(F.col("rn") <= _RRF_TOPK)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_score"),
             F.col("rn").cast("long").alias("rn"),
         )
         .orderBy("query_id", "rn")
@@ -5471,6 +5615,7 @@ _WINDOW_BACK = [
     "embedding_cosine_topk",  # rotated out for r5's gopher_quality_rules
     "embedding_lsh_buckets",  # rotated out for r5's streaming_session_windows
     "simhash_fingerprint",  # rotated out for r5's keyword_search_topk
+    "exact_dedup",  # rotated out for r5's hybrid_rrf_fusion
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
