@@ -48,7 +48,11 @@ def encode_avi_mjpg(
         1_000_000 // fps,  # microseconds per frame
         0,  # max bytes/sec (informational)
         0,  # padding granularity
-        0x10,  # AVIF_HASINDEX-free, AVIF_WASCAPTUREFILE-free; 0x10 = trust chunks
+        # AVIF_TRUSTCKTYPE (0x800): chunk fourccs are authoritative. NOT
+        # AVIF_HASINDEX (0x10) — this writer emits no idx1 chunk, so
+        # advertising an index would make the file spec-inconsistent for
+        # strict external parsers.
+        0x800,
         len(blobs),
         0,
         1,  # one stream
@@ -79,7 +83,9 @@ def encode_avi_mjpg(
 def decode_avi_mjpg(data: bytes) -> list[np.ndarray]:
     """AVI bytes -> list of decoded frames ((H,W) or (H,W,3) uint8).
     Walks the RIFF tree, requires an MJPG 'vids' stream, decodes every
-    '..dc' chunk in the 'movi' list via the stdlib JPEG decoder."""
+    stream-00 compressed-video ('00dc') chunk via the stdlib JPEG decoder
+    — other streams' chunks (e.g. '01dc' of a second stream) are ignored
+    rather than fed to the JPEG decoder."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI (RIFF/'AVI ' header missing)")
     handler = None
@@ -97,7 +103,7 @@ def decode_avi_mjpg(data: bytes) -> list[np.ndarray]:
             elif tag == b"strh":
                 if payload[:4] == b"vids":
                     handler = payload[4:8]
-            elif tag[2:4] == b"dc":
+            elif tag == b"00dc":
                 frames.append(decode_jpeg(payload))
             pos += 8 + ln + (ln & 1)
 

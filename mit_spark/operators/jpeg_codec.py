@@ -25,6 +25,7 @@ block rasterization. AC paths are covered by the roundtrip/golden tests.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -131,15 +132,22 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> np.ndarray:
-    """16-bit-lookahead decode LUT: index = next 16 bits of the stream,
-    value = symbol * 32 + code_length (0 for invalid prefixes)."""
+@functools.lru_cache(maxsize=16)
+def _decode_table_cached(bits: tuple, vals: tuple) -> np.ndarray:
     lut = np.zeros(1 << 16, dtype=np.int32)
-    for sym, (code, length) in _canonical_codes(bits, vals).items():
+    for sym, (code, length) in _canonical_codes(list(bits), list(vals)).items():
         lo = code << (16 - length)
         hi = (code + 1) << (16 - length)
         lut[lo:hi] = sym * 32 + length
     return lut
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> np.ndarray:
+    """16-bit-lookahead decode LUT: index = next 16 bits of the stream,
+    value = symbol * 32 + code_length (0 for invalid prefixes). Memoized —
+    every baseline decode in practice reuses the same (Annex-K) tables, so
+    rebuilding the 256 KB LUT per DHT per image was pure hot-loop waste."""
+    return _decode_table_cached(tuple(bits), tuple(vals))
 
 
 def _scale_qt(qt: np.ndarray, quality: int) -> np.ndarray:
@@ -453,9 +461,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     break
                 if rs == 0xF0:  # ZRL
                     k += 16
+                    if k > 63:  # ZRL may not run past the block either
+                        raise ValueError("AC run past end of block")
                     continue
                 k += rs >> 4
                 size = rs & 0xF
+                if size == 0:  # only EOB (0x00) and ZRL (0xF0) have size 0
+                    raise ValueError(f"invalid AC symbol 0x{rs:02x}")
                 if k > 63:
                     raise ValueError("AC run past end of block")
                 zz[k] = _extend(br.read(size), size)

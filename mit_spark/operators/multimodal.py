@@ -269,24 +269,28 @@ def media_table_png(spark: SparkSession, docs_df: DataFrame) -> DataFrame:
     return spans.mapInPandas(attach, schema=MEDIA)
 
 
-def jpeg_tile_image(media_ref: str, width: int, height: int) -> np.ndarray:
+def jpeg_tile_image(
+    media_ref: str, width: int, height: int, *, key_prefix: str | None = None
+) -> np.ndarray:
     """Deterministic 8x8-tiled EVEN-gray image for a media_ref: tile (bx,by)
-    holds 2 * (first-4-md5-bytes('jp:<ref>:<bx>:<by>') % 128). Dimensions
-    are the ref's page size rounded DOWN to 8-multiples (whole MCUs). Flat
-    even-gray DC-only blocks survive the baseline JPEG encode->decode
-    round trip BIT-EXACT (jpeg_codec docstring), so the SQL oracle can
-    state the decoded histogram in closed form from the same md5
-    arithmetic — while the payload still drives real Huffman coding and
-    differential DC prediction across tiles."""
+    holds 2 * (first-4-md5-bytes('<prefix>:<bx>:<by>') % 128), where the
+    prefix defaults to 'jp:<ref>' (the JPEG image table) and video frames
+    pass 'vf:<ref>:<frame>'. Dimensions are the ref's page size rounded
+    DOWN to 8-multiples (whole MCUs). Flat even-gray DC-only blocks
+    survive the baseline JPEG encode->decode round trip BIT-EXACT
+    (jpeg_codec docstring), so the SQL oracles can state the decoded
+    histograms in closed form from the same md5 arithmetic — while the
+    payload still drives real Huffman coding and differential DC
+    prediction across tiles. ONE definition of the tile arithmetic serves
+    every oracle that mirrors it."""
     import hashlib
 
+    prefix = key_prefix if key_prefix is not None else f"jp:{media_ref}"
     w8, h8 = width // 8 * 8, height // 8 * 8
     tiles = np.empty((h8 // 8, w8 // 8), dtype=np.uint8)
     for by in range(h8 // 8):
         for bx in range(w8 // 8):
-            hv = int(
-                hashlib.md5(f"jp:{media_ref}:{bx}:{by}".encode()).hexdigest()[:8], 16
-            )
+            hv = int(hashlib.md5(f"{prefix}:{bx}:{by}".encode()).hexdigest()[:8], 16)
             tiles[by, bx] = 2 * (hv % 128)
     return np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
 
@@ -445,7 +449,12 @@ def waveform_stats(audio_df: DataFrame) -> DataFrame:
                 n = int(s.shape[0])
                 rms = int(round(float(np.sqrt(np.mean(s * s)))))
                 peak = int(np.abs(s).max())
-                zc = int(np.count_nonzero(np.sign(s[1:]) != np.sign(s[:-1])))
+                # zero crossings = POLARITY FLIPS: exact-zero samples carry
+                # no polarity, so drop them before diffing (np.sign yields 0
+                # at zeros, which would count entering AND leaving a zero or
+                # a silence run as crossings and corrupt half_period)
+                nz = s[s != 0]
+                zc = int(np.count_nonzero(np.sign(nz[1:]) != np.sign(nz[:-1])))
                 half = n // (zc + 1)
                 rows.append((ref, n, half, rms, peak, zc))
             yield pd.DataFrame(
@@ -471,8 +480,6 @@ def video_table(spark: SparkSession, docs_df: DataFrame) -> DataFrame:
     ('vf:<ref>:<f>:<bx>:<by>'), the DC-only construction whose decode is
     bit-exact, so the downstream stats stay under a closed-form SQL
     oracle. Same plumbing/schema as the image tables."""
-    import hashlib
-
     from mit_spark.operators.avi_codec import encode_avi_mjpg
 
     spans = _media_spans(spark, docs_df)
@@ -489,19 +496,12 @@ def video_table(spark: SparkSession, docs_df: DataFrame) -> DataFrame:
                 w8, h8 = m["width"] // 8 * 8, m["height"] // 8 * 8
                 if w8 == 0 or h8 == 0:
                     continue
-                frames = []
-                for f in range(4):
-                    tiles = np.empty((h8 // 8, w8 // 8), dtype=np.uint8)
-                    for by in range(h8 // 8):
-                        for bx in range(w8 // 8):
-                            hv = int(
-                                hashlib.md5(
-                                    f"vf:{ref}:{f}:{bx}:{by}".encode()
-                                ).hexdigest()[:8],
-                                16,
-                            )
-                            tiles[by, bx] = 2 * (hv % 128)
-                    frames.append(np.kron(tiles, np.ones((8, 8), dtype=np.uint8)))
+                frames = [
+                    jpeg_tile_image(
+                        str(ref), m["width"], m["height"], key_prefix=f"vf:{ref}:{f}"
+                    )
+                    for f in range(4)
+                ]
                 rows.append(
                     (
                         doc,

@@ -2590,6 +2590,51 @@ def _curation_sql() -> str:
     """
 
 
+def _shingle_bands(docs: DataFrame, extra: tuple = ()) -> DataFrame:
+    """The shared minhash-LSH band builder: 3-gram md5 shingle digests
+    formed ARRAY-SIDE in one codegen projection (slice over sequence, no
+    posexplode, no per-doc window sort — the r3 plan lesson), 6 minhash
+    lanes as array_min over transform, 3 two-lane bands exploded, and the
+    distinct shingle set riding ALONG the explode so the exact-Jaccard
+    verify downstream is an inline filter on the band join. Input needs
+    (doc_id, words, *extra); output is (doc_id, *extra, ds, band). ONE
+    definition serves every LSH consumer (incremental_dedup,
+    corpus_curation_report) — the lane width and band layout are
+    load-bearing against separately-maintained SQL oracles."""
+    n_words = F.size("words")
+    digests = F.when(
+        n_words >= 3,  # sequence(1, n-2) would DESCEND for n < 3
+        F.transform(
+            F.sequence(F.lit(1), n_words - 2),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("words", i, 3))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs_dg = docs.select("doc_id", *extra, digests.alias("dg")).filter(
+        F.size("dg") > 0
+    )
+    sigs = docs_dg.select(
+        "doc_id",
+        *extra,
+        F.array_distinct("dg").alias("ds"),
+        *[
+            F.array_min(
+                F.transform("dg", lambda x: F.substring(x, 5 * j + 1, 5))
+            ).alias(f"mh{j}")
+            for j in range(6)
+        ],
+    )
+    return sigs.select(
+        "doc_id",
+        *extra,
+        "ds",
+        F.explode(
+            F.array(
+                F.concat("mh0", "mh1"), F.concat("mh2", "mh3"), F.concat("mh4", "mh5")
+            )
+        ).alias("band"),
+    )
+
+
 @register("corpus_curation_report", _curation_sql())
 def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END curation pipeline as ONE declarative plan — the
@@ -2630,33 +2675,7 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_exact", F.lit(1))
     )
     n_words = F.size("words")
-    digests = F.when(
-        n_words >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n_words - 2),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("words", i, 3))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    docs_dg = d.select("doc_id", digests.alias("dg")).filter(F.size("dg") > 0)
-    sigs = docs_dg.select(
-        "doc_id",
-        F.array_distinct("dg").alias("ds"),
-        *[
-            F.array_min(
-                F.transform("dg", lambda x: F.substring(x, 5 * j + 1, 5))
-            ).alias(f"mh{j}")
-            for j in range(6)
-        ],
-    )
-    bands = sigs.select(
-        "doc_id",
-        "ds",
-        F.explode(
-            F.array(
-                F.concat("mh0", "mh1"), F.concat("mh2", "mh3"), F.concat("mh4", "mh5")
-            )
-        ).alias("band"),
-    )
+    bands = _shingle_bands(d)
     a = bands.select(F.col("doc_id").alias("da"), "band", F.col("ds").alias("ds_x"))
     b = bands.select(F.col("doc_id").alias("db"), "band", F.col("ds").alias("ds_y"))
     inter = F.size(F.array_intersect("ds_x", "ds_y"))
@@ -4511,50 +4530,17 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_docs = batch.withColumn("is_batch", F.lit(1)).unionByName(
         d.withColumn("is_batch", F.lit(0))
     )
-    # 3-gram shingle digests built ARRAY-SIDE in one codegen projection —
-    # no posexplode and no per-doc window sort on the corpus-side branch,
-    # the expensive side (VERDICT r3 #5; the cross_doc_chunk_dedup lesson):
-    # slice(words, i, 3) over sequence(1, n-2), md5 per shingle, and the
-    # 6 minhash lanes as array_min over transform — the signature never
-    # leaves the projection. The distinct shingle set rides ALONG the band
-    # explode into the band join, so the exact-Jaccard verify is an inline
-    # FILTER on the band join itself: the r4 shape re-derived the sets in a
-    # second corpus-wide digest pass and re-joined them twice (the 2.9 ->
-    # 4.1 s bench regression); this shape's one trade is shuffling each
-    # set bands-per-sig (3) times instead of once — a small constant —
-    # and the band join is the ONLY corpus-wide shuffle left
-    n_words = F.size("words")
-    digests = F.when(
-        n_words >= 3,  # sequence(1, n-2) would DESCEND for n < 3
-        F.transform(
-            F.sequence(F.lit(1), n_words - 2),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("words", i, 3))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    docs_dg = all_docs.select("doc_id", "is_batch", digests.alias("dg")).filter(
-        F.size("dg") > 0
-    )
-    sigs = docs_dg.select(
-        "doc_id",
-        "is_batch",
-        F.array_distinct("dg").alias("ds"),
-        *[
-            F.array_min(
-                F.transform("dg", lambda d: F.substring(d, 5 * j + 1, 5))
-            ).alias(f"mh{j}")
-            for j in range(6)
-        ],
-    )
-    bands = sigs.select(
-        "doc_id",
-        "is_batch",
-        "ds",
-        F.explode(
-            F.array(
-                F.concat("mh0", "mh1"), F.concat("mh2", "mh3"), F.concat("mh4", "mh5")
-            )
-        ).alias("band"),
-    )
+    # the shared band builder (_shingle_bands) keeps the shingle digests
+    # and minhash lanes in one codegen projection (VERDICT r3 #5; the
+    # cross_doc_chunk_dedup lesson), and the distinct shingle set rides
+    # ALONG the band explode into the band join, so the exact-Jaccard
+    # verify is an inline FILTER on the band join itself: the r4 shape
+    # re-derived the sets in a second corpus-wide digest pass and
+    # re-joined them twice (the 2.9 -> 4.1 s bench regression); this
+    # shape's one trade is shuffling each set bands-per-sig (3) times
+    # instead of once — a small constant — and the band join is the ONLY
+    # corpus-wide shuffle left
+    bands = _shingle_bands(all_docs, extra=("is_batch",))
     a = bands.filter(F.col("is_batch") == 1).select(
         F.col("doc_id").alias("bid"), "band", F.col("ds").alias("ds_x")
     )
