@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "split_leakage_audit",
     "interval_overlap_join",
     "gopher_quality_rules",
+    "gopher_repetition_rules",
     "keyword_search_topk",
     "hybrid_rrf_fusion",
     "decontaminate_ngrams",

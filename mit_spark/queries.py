@@ -746,6 +746,160 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_TOP = {2: 0.20, 3: 0.18, 4: 0.16}  # Rae et al. 2021 Table A1
+_GOPHER_DUP = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+_GOPHER_ENC = 100000  # top-gram encoder: cnt * ENC + char_len (len << ENC)
+
+
+def _gopher_rep_sql() -> str:
+    tops = ", ".join(
+        f"coalesce(max(CASE WHEN n = {k} THEN (topenc // {_GOPHER_ENC})"
+        f" * (topenc % {_GOPHER_ENC}) END), 0) AS top{k}"
+        for k in _GOPHER_TOP
+    )
+    dups = ", ".join(
+        f"coalesce(max(CASE WHEN n = {k} THEN dupchars END), 0) AS dup{k}"
+        for k in _GOPHER_DUP
+    )
+    top_out = ", ".join(
+        f"round(top{k} / greatest(total, 1), 6) AS top_{k}gram_frac"
+        for k in _GOPHER_TOP
+    )
+    dup_out = ", ".join(
+        f"round(dup{k} / greatest(total, 1), 6) AS dup_{k}gram_frac"
+        for k in _GOPHER_DUP
+    )
+    keep = " AND ".join(
+        [
+            f"top{k} / greatest(total, 1) <= CAST({v} AS DOUBLE)"
+            for k, v in _GOPHER_TOP.items()
+        ]
+        + [
+            f"dup{k} / greatest(total, 1) <= CAST({v} AS DOUBLE)"
+            for k, v in _GOPHER_DUP.items()
+        ]
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, split(trim(text), ' ') AS ws,
+             length(trim(text)) AS total
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, n,
+             unnest(list_transform(range(1, greatest(len(ws) - n + 2, 1)),
+                                   i -> array_to_string(ws[i : i + n - 1], ' ')))
+               AS gram
+      FROM base, range(2, 11) t(n)
+    ), gc AS (
+      SELECT doc_id, n, gram,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(length(gram) AS BIGINT) AS glen
+      FROM grams GROUP BY doc_id, n, gram
+    ), pn AS (
+      SELECT doc_id, n,
+             sum((cnt - 1) * glen) AS dupchars,
+             max(cnt * {_GOPHER_ENC} + glen) AS topenc
+      FROM gc GROUP BY doc_id, n
+    ), piv AS (
+      SELECT doc_id, {tops}, {dups} FROM pn GROUP BY doc_id
+    ), filled AS (
+      SELECT b.doc_id, b.total,
+             {", ".join(f"coalesce(top{k}, 0) AS top{k}" for k in _GOPHER_TOP)},
+             {", ".join(f"coalesce(dup{k}, 0) AS dup{k}" for k in _GOPHER_DUP)}
+      FROM base b LEFT JOIN piv USING (doc_id)
+    )
+    SELECT doc_id, {top_out}, {dup_out},
+           CAST({keep} AS INT) AS keep
+    FROM filled ORDER BY doc_id
+    """
+
+
+@register("gopher_repetition_rules", _gopher_rep_sql())
+def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal rules (Rae et al. 2021, App. A1.2): per
+    document, the fraction of characters contained in the most frequent
+    word n-gram for n=2..4 (count x gram chars / text chars) and the
+    fraction of characters in DUPLICATED n-grams for n=5..10 (chars of
+    every occurrence after the first, the overlap-counting simplification
+    the public DataTrove/NeMo-Curator implementations use), plus the keep
+    decision at Gopher's Table-A1 thresholds. Complements
+    `quality_repetition_filter` (word-level dup/top ratios) and
+    `gopher_quality_rules` (App. A1.1 length/stopword/alpha rules); the
+    line/paragraph dup rules are inapplicable to this corpus's single-line
+    text and are omitted rather than shipped as always-zero columns.
+
+    Determinism: the "most frequent n-gram" is tie-broken to the LONGEST
+    such gram by encoding (cnt, char_len) into one BIGINT
+    (cnt*100000 + len, len << 100000) and taking max() — Counter-insertion
+    order, the reference implementations' tie-break, is not reproducible
+    in SQL. All nine fractions are single int/int double divisions
+    (bit-exact cross-engine); the keep flag compares the UNROUNDED
+    doubles against the double thresholds.
+
+    Plan shape: all nine n-gram families are built ARRAY-SIDE in one
+    codegen projection (nested transform over sequence(2,10) x start
+    positions, flattened), so the corpus is read ONCE and there is no
+    per-n scan or union; one combinable count shuffle keyed on
+    (doc_id, n, gram), one combinable rollup to (doc_id, n), a 9-rows-per-
+    doc pivot, and a final left join back to the doc spine for sub-2-word
+    documents. Gram keys include doc_id, so skew is bounded by a single
+    document's repetition — no corpus-global hot key."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.trim("text"), " ").alias("ws"),
+        F.length(F.trim("text")).cast("long").alias("total"),
+    )
+    gram_arr = F.expr(
+        "flatten(transform(sequence(2, 10), n ->"
+        " transform(slice(ws, 1, greatest(size(ws) - n + 1, 0)),"
+        "  (w, i) -> named_struct('n', n, 'gram', concat_ws(' ', slice(ws, i + 1, n))))))"
+    )
+    grams = d.select("doc_id", F.explode(gram_arr).alias("g")).select(
+        "doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    )
+    gc = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    glen = F.length("gram").cast("long")
+    pn = gc.groupBy("doc_id", "n").agg(
+        F.sum((F.col("cnt") - 1) * glen).alias("dupchars"),
+        F.max(F.col("cnt") * _GOPHER_ENC + glen).alias("topenc"),
+    )
+    top_chars = (F.col("topenc") - F.col("topenc") % _GOPHER_ENC) / _GOPHER_ENC * (
+        F.col("topenc") % _GOPHER_ENC
+    )
+    piv = pn.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == k, top_chars.cast("long"))), F.lit(0)
+            ).alias(f"top{k}")
+            for k in _GOPHER_TOP
+        ],
+        *[
+            F.coalesce(F.max(F.when(F.col("n") == k, F.col("dupchars"))), F.lit(0)).alias(
+                f"dup{k}"
+            )
+            for k in _GOPHER_DUP
+        ],
+    )
+    filled = d.select("doc_id", "total").join(piv, "doc_id", "left")
+    denom = F.greatest(F.col("total"), F.lit(1)).cast("double")
+    fracs = {
+        **{k: F.coalesce(F.col(f"top{k}"), F.lit(0)) / denom for k in _GOPHER_TOP},
+        **{k: F.coalesce(F.col(f"dup{k}"), F.lit(0)) / denom for k in _GOPHER_DUP},
+    }
+    keep = None
+    for k, v in {**_GOPHER_TOP, **_GOPHER_DUP}.items():
+        c = fracs[k] <= F.lit(v)
+        keep = c if keep is None else (keep & c)
+    return filled.select(
+        "doc_id",
+        *[F.round(fracs[k], 6).alias(f"top_{k}gram_frac") for k in _GOPHER_TOP],
+        *[F.round(fracs[k], 6).alias(f"dup_{k}gram_frac") for k in _GOPHER_DUP],
+        keep.cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
 @register(
     "boilerplate_strip",
     f"""
@@ -5602,6 +5756,7 @@ _WINDOW_BACK = [
     "embedding_lsh_buckets",  # rotated out for r5's streaming_session_windows
     "simhash_fingerprint",  # rotated out for r5's keyword_search_topk
     "exact_dedup",  # rotated out for r5's hybrid_rrf_fusion
+    "boilerplate_strip",  # rotated out for r5's gopher_repetition_rules
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
