@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "interval_overlap_join",
     "gopher_quality_rules",
     "gopher_repetition_rules",
+    "corpus_integrity_audit",
+    "mixture_resample",
     "keyword_search_topk",
     "hybrid_rrf_fusion",
     "decontaminate_ngrams",

@@ -5726,6 +5726,239 @@ def rare_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus data-contract QA + executable mixture sampling
+
+
+def _integrity_sql() -> str:
+    return """
+    WITH da AS (
+      SELECT CAST(count(*) AS BIGINT) AS docs_total,
+             CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS docs_dup_ids,
+             CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS docs_empty_text,
+             CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS docs_nchars_mismatch,
+             CAST(count(DISTINCT lang) AS BIGINT) AS docs_lang_cardinality,
+             CAST(count(DISTINCT source) AS BIGINT) AS docs_source_cardinality
+      FROM documents
+    ), ea AS (
+      SELECT CAST(count(*) AS BIGINT) AS vecs_total,
+             CAST(count(*) - count(DISTINCT vec_id) AS BIGINT) AS vecs_dup_ids,
+             CAST(count(DISTINCT len(embedding)) AS BIGINT) AS vecs_dim_cardinality,
+             CAST(min(len(embedding)) AS BIGINT) AS vecs_dim,
+             CAST(sum(CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS vecs_with_nan,
+             CAST(sum(CASE WHEN len(embedding) = 0 THEN 1
+                           WHEN list_reduce(list_transform(embedding, x -> abs(x)),
+                                            (a, b) -> a + b) = 0 THEN 1
+                           ELSE 0 END) AS BIGINT) AS vecs_zero_norm
+      FROM embeddings
+    ), dwv AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+    ), vwd AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM embeddings e
+      WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+    )
+    SELECT * FROM (
+      SELECT 'docs_total' AS check_name, docs_total AS measured FROM da
+      UNION ALL SELECT 'docs_dup_ids', docs_dup_ids FROM da
+      UNION ALL SELECT 'docs_empty_text', docs_empty_text FROM da
+      UNION ALL SELECT 'docs_nchars_mismatch', docs_nchars_mismatch FROM da
+      UNION ALL SELECT 'docs_lang_cardinality', docs_lang_cardinality FROM da
+      UNION ALL SELECT 'docs_source_cardinality', docs_source_cardinality FROM da
+      UNION ALL SELECT 'vecs_total', vecs_total FROM ea
+      UNION ALL SELECT 'vecs_dup_ids', vecs_dup_ids FROM ea
+      UNION ALL SELECT 'vecs_dim_cardinality', vecs_dim_cardinality FROM ea
+      UNION ALL SELECT 'vecs_dim', vecs_dim FROM ea
+      UNION ALL SELECT 'vecs_with_nan', vecs_with_nan FROM ea
+      UNION ALL SELECT 'vecs_zero_norm', vecs_zero_norm FROM ea
+      UNION ALL SELECT 'docs_without_vec', v FROM dwv
+      UNION ALL SELECT 'vecs_without_doc', v FROM vwd
+    ) ORDER BY check_name
+    """
+
+
+@register("corpus_integrity_audit", _integrity_sql())
+def corpus_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract QA over the corpus — the audit a pipeline runs before
+    committing a new drop: per-table invariants (duplicate keys, empty
+    text, the n_chars==length(text) derived-column contract, lang/source
+    cardinalities, embedding dimension uniformity, NaN and zero-norm
+    vectors) plus cross-table referential integrity (docs without an
+    embedding and orphan embeddings, via anti-joins on doc_id = vec_id).
+    Emitted as a tall (check_name, measured) table so new checks append
+    without a schema change; every value is an exact integer. Mixing
+    measured cardinalities with violation counts keeps the value hash
+    discriminative even on a clean corpus.
+
+    Plan shape: ONE aggregate scan per table (the conditional counters and
+    both count-distincts share a single pass; Catalyst's expand handles the
+    multi-distinct), two anti-joins keyed on the id column (broadcast or
+    shuffle as AQE sizes them), and four one-row frames exploded into the
+    tall layout — no per-row Python, nothing driver-side. At 100 TB the
+    audit costs two table scans + one id-keyed join, the floor for what it
+    proves; the zero-norm probe folds |x| array-side so the vector never
+    leaves the JVM."""
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    da = d.agg(
+        F.count(F.lit(1)).cast("long").alias("docs_total"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id"))
+        .cast("long")
+        .alias("docs_dup_ids"),
+        F.sum(flag(F.col("text").isNull() | (F.trim("text") == "")))
+        .cast("long")
+        .alias("docs_empty_text"),
+        F.sum(flag(F.col("n_chars") != F.length("text")))
+        .cast("long")
+        .alias("docs_nchars_mismatch"),
+        F.countDistinct("lang").cast("long").alias("docs_lang_cardinality"),
+        F.countDistinct("source").cast("long").alias("docs_source_cardinality"),
+    )
+    dim = F.size("embedding")
+    zero_norm = (
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + F.abs(x)) == 0
+    )
+    ea = e.agg(
+        F.count(F.lit(1)).cast("long").alias("vecs_total"),
+        (F.count(F.lit(1)) - F.countDistinct("vec_id"))
+        .cast("long")
+        .alias("vecs_dup_ids"),
+        F.countDistinct(dim).cast("long").alias("vecs_dim_cardinality"),
+        F.min(dim).cast("long").alias("vecs_dim"),
+        F.sum(flag(F.exists("embedding", F.isnan))).cast("long").alias("vecs_with_nan"),
+        F.sum(flag(zero_norm)).cast("long").alias("vecs_zero_norm"),
+    )
+    dwv = (
+        d.join(e, d["doc_id"] == e["vec_id"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs_without_vec"))
+    )
+    vwd = (
+        e.join(d, e["vec_id"] == d["doc_id"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("vecs_without_doc"))
+    )
+
+    def tall(frame: DataFrame) -> DataFrame:
+        entries = [
+            F.struct(F.lit(c).alias("check_name"), F.col(c).alias("measured"))
+            for c in frame.columns
+        ]
+        return frame.select(F.explode(F.array(*entries)).alias("kv")).select("kv.*")
+
+    return (
+        tall(da).unionByName(tall(ea)).unionByName(tall(dwv)).unionByName(tall(vwd))
+    ).orderBy("check_name")
+
+
+def _resample_sql() -> str:
+    return """
+    WITH toks AS (
+      SELECT doc_id, source, lang,
+             CAST(len(split(trim(text), ' ')) AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS rk
+      FROM documents
+    ), dom AS (
+      SELECT source, lang, CAST(sum(n_tok) AS BIGINT) AS dom_tok,
+             CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE))) AS BIGINT) AS w
+      FROM toks GROUP BY source, lang
+    ), tgt AS (
+      SELECT source, lang, dom_tok,
+             CAST((sum(dom_tok) OVER ()) * w // (sum(w) OVER ()) AS BIGINT)
+               AS target_tok
+      FROM dom
+    ), ranked AS (
+      SELECT t.doc_id, t.source, t.lang, t.n_tok, g.target_tok, g.dom_tok,
+             coalesce(sum(t.n_tok) OVER (PARTITION BY t.source, t.lang
+                                         ORDER BY t.rk, t.doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS cum_before
+      FROM toks t JOIN tgt g ON t.source = g.source AND t.lang = g.lang
+    )
+    SELECT source, lang, dom_tok AS domain_tokens, target_tok AS target_tokens,
+           CAST(count(CASE WHEN cum_before < target_tok THEN 1 END) AS BIGINT)
+             AS n_docs_selected,
+           CAST(coalesce(sum(CASE WHEN cum_before < target_tok THEN n_tok END), 0)
+                AS BIGINT) AS tokens_selected
+    FROM ranked GROUP BY source, lang, dom_tok, target_tok
+    ORDER BY source, lang
+    """
+
+
+@register("mixture_resample", _resample_sql())
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTABLE half of training-mixture reweighting: materialize a
+    deterministic document sample that realizes the alpha=0.5 temperature
+    mixture `domain_mixture_weights` only reports. Per (source, lang)
+    domain, the token target is total_tokens * w / sum(w) with w =
+    floor(sqrt(domain_tokens)) — INTEGER weights, so targets are pure
+    integer multiply-divide (no double sums, no rounding cliffs; sqrt is
+    IEEE-correctly-rounded so floor(sqrt) is identical cross-engine).
+    Selection inside a domain is by md5(doc_id) rank (deterministic,
+    uniform, reproducible across runs and engines — the same salt-free
+    hash-order idiom as `stratified_sample`), taking documents while the
+    tokens accumulated BEFORE the doc are under target, so every domain
+    slightly overshoots rather than undershoots. Reported per domain:
+    corpus tokens, target tokens, and the selected doc/token counts.
+
+    Plan shape: one corpus scan builds (doc, domain, tokens, rank); the
+    domain aggregate is K rows, its global-window normalization is a
+    driver-sized frame (the domain_mixture_weights discipline); the join
+    back is keyed on the domain (broadcast — K rows); the per-domain
+    cumulative sum is a partitioned window ordered by the hash rank, which
+    at 100 TB shuffles once on the domain key with skew bounded by the
+    largest domain — the same cost as writing the resampled corpus
+    grouped by domain, which is what a materializing run would do anyway
+    (swap the final aggregate for a filter cum_before < target to emit
+    the actual sample)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    )
+    dom = toks.groupBy("source", "lang").agg(
+        F.sum("n_tok").cast("long").alias("dom_tok"),
+        F.floor(F.sqrt(F.sum("n_tok").cast("double"))).cast("long").alias("w"),
+    )
+    # integer target: total_tokens * w DIV sum(w) — the global windows run
+    # over the K-row domain frame (driver-sized, the mixture_weights rule)
+    tgt = dom.select(
+        "source",
+        "lang",
+        "dom_tok",
+        F.expr("sum(dom_tok) over () * w div sum(w) over ()").alias("target_tok"),
+    )
+    cum = (
+        Window.partitionBy("source", "lang")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = toks.join(tgt, ["source", "lang"]).withColumn(
+        "cum_before", F.coalesce(F.sum("n_tok").over(cum), F.lit(0))
+    )
+    sel = F.col("cum_before") < F.col("target_tok")
+    return (
+        ranked.groupBy(
+            "source",
+            "lang",
+            F.col("dom_tok").alias("domain_tokens"),
+            F.col("target_tok").alias("target_tokens"),
+        )
+        .agg(
+            F.count(F.when(sel, 1)).cast("long").alias("n_docs_selected"),
+            F.coalesce(F.sum(F.when(sel, F.col("n_tok"))), F.lit(0))
+            .cast("long")
+            .alias("tokens_selected"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate window ordering (the "first-50 contract").
 #
 # The driver's per-round CORRECTNESS gate checks exactly the FIRST 50
@@ -5757,6 +5990,8 @@ _WINDOW_BACK = [
     "simhash_fingerprint",  # rotated out for r5's keyword_search_topk
     "exact_dedup",  # rotated out for r5's hybrid_rrf_fusion
     "boilerplate_strip",  # rotated out for r5's gopher_repetition_rules
+    "token_count_bpe",  # rotated out for r5's corpus_integrity_audit
+    "language_id_ngram",  # rotated out for r5's mixture_resample
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
