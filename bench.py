@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "mixture_resample",
     "keyword_search_topk",
     "hybrid_rrf_fusion",
+    "simhash_hamming_pairs",
     "decontaminate_ngrams",
     "pii_redaction",
     "events_asof_join",

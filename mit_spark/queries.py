@@ -1127,6 +1127,137 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_SH_NIBBLES = 15  # 60-bit fingerprint: 15 md5 nibbles x 4 bits (fits BIGINT)
+_SH_BANDS = 4  # pigeonhole: hamming <= 3 => at least one of 4 bands equal
+_SH_HAM = 3
+
+
+def _sh_sql_fingerprint_cte() -> str:
+    """The 60-bit majority fingerprint in SQL: per md5-nibble-position p
+    and bit k, a +1/-1 majority sum over the doc's distinct tokens, then
+    the fingerprint reassembled as a sum of power-of-two BIGINT literals."""
+    sums = ", ".join(
+        f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1)"
+        f" // {1 << k}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{p}_{k}"
+        for p in range(_SH_NIBBLES)
+        for k in range(4)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s_{p}_{k} > 0 THEN CAST({1 << (4 * (_SH_NIBBLES - 1 - p) + k)}"
+        f" AS BIGINT) ELSE 0 END"
+        for p in range(_SH_NIBBLES)
+        for k in range(4)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, md5(w) AS h
+      FROM (SELECT doc_id, unnest(list_distinct(split(trim(text), ' '))) AS w
+            FROM documents)
+    ), bits AS (
+      SELECT doc_id, {sums} FROM tok GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id, {fp} AS f FROM bits
+    )"""
+
+
+def _simhash_hamming_oracle() -> str:
+    """Brute-force oracle: the SAME fingerprint, then ALL doc pairs with
+    hamming <= 3 by direct xor+bit_count — deliberately NOT the banded
+    plan, so a hash match proves the pigeonhole candidate generation finds
+    every qualifying pair, not merely that both engines ran the same
+    shortcut."""
+    return (
+        _sh_sql_fingerprint_cte()
+        + f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= {_SH_HAM}
+    ORDER BY doc_a, doc_b
+    """
+    )
+
+
+@register("simhash_hamming_pairs", _simhash_hamming_oracle())
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash near-duplicate detection the way Manku/Jain/Sarma 2007 ran
+    it at crawl scale: a 60-bit majority fingerprint per document (15 md5
+    nibbles x 4 bits over the distinct-token set), split into 4 disjoint
+    15-bit bands; by pigeonhole, ANY pair within hamming distance 3 agrees
+    on at least one whole band, so the banded equi-join generates a
+    candidate superset and the xor+bit_count verify keeps exactly the
+    qualifying pairs — an EXACT algorithm with equi-join cost, no all-pairs
+    scan. The oracle is the brute-force all-pairs hamming join, so the
+    value hash proves completeness of the candidate generation, not just
+    agreement on a shared shortcut.
+
+    Plan shape at 100 TB: one token explode + per-doc majority aggregate
+    (combinable — the 60 conditional sums ride one groupBy), fingerprints
+    are 8 bytes/doc; the band explode is x4; the self-join shuffles on
+    (band_idx, band_value) — uniform md5-derived keys, no hot band; the
+    verify is a codegen xor on the joined rows; DISTINCT dedupes pairs
+    that agree on multiple bands before emitting. Everything after the
+    token aggregate is integer arithmetic on longs."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.trim("text"), " "))).alias("w")
+    ).withColumn("h", F.md5("w"))
+    nib = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring("h", p + 1, 1)) - 1  # noqa: E731
+    sums = [
+        F.sum(
+            F.when(F.shiftright(nib(p), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{p}_{k}")
+        for p in range(_SH_NIBBLES)
+        for k in range(4)
+    ]
+    bits = tok.groupBy("doc_id").agg(*sums)
+    f = None
+    for p in range(_SH_NIBBLES):
+        for k in range(4):
+            term = F.when(
+                F.col(f"s_{p}_{k}") > 0,
+                F.lit(1 << (4 * (_SH_NIBBLES - 1 - p) + k)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            f = term if f is None else (f + term)
+    fp = bits.select("doc_id", f.alias("f"))
+    band_w = 4 * _SH_NIBBLES // _SH_BANDS  # 15 bits per band
+    bands = fp.select(
+        "doc_id",
+        "f",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftrightunsigned("f", band_w * i)
+                        .bitwiseAND(F.lit((1 << band_w) - 1))
+                        .alias("bv"),
+                    )
+                    for i in range(_SH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "f", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("f").alias("fa"), "bi", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("f").alias("fb"), "bi", "bv"
+    )
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fa", "fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.filter(ham <= _SH_HAM)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 
@@ -5992,6 +6123,7 @@ _WINDOW_BACK = [
     "boilerplate_strip",  # rotated out for r5's gopher_repetition_rules
     "token_count_bpe",  # rotated out for r5's corpus_integrity_audit
     "language_id_ngram",  # rotated out for r5's mixture_resample
+    "decontaminate_ngrams",  # rotated out for r5's simhash_hamming_pairs
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
