@@ -839,12 +839,18 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the corpus is read ONCE; an explode of sequence(2,10)
     spreads each doc to 9 (doc, n) rows (cheap — the split array is
     shared), then ONE single-level transform per row builds that n's gram
-    array. A nested transform-over-sequence building all nine families in
-    one array was measured strictly worse BOTH ways — 6.0 s cold / 0.8 s
-    warm vs 1.7 s / 0.16 s — because nested higher-order functions are
-    interpreted (not codegen'd) AND the flattened struct array
-    materializes 9 families per doc in one buffer; keep the explode-first
-    form. Downstream: one combinable count shuffle keyed on
+    array. The explode-first form replaces a nested
+    transform-over-sequence building all nine families into one flattened
+    struct array: nesting compiled ~4 s slower cold (Janino on the giant
+    expression) for identical steady-state wall. Steady-state cost is
+    dominated by interpreted higher-order-function evaluation of the
+    ~450 grams/doc (HOFs never enter whole-stage codegen); A/B-measured
+    alternatives under the bench's noop-write protocol — xxhash64 gram
+    keys instead of strings, and a fully shuffle-free per-row
+    sort+run-length aggregate — were all within ±10%, so the simplest
+    form is kept. (Measurement lesson: .count() A/Bs are useless here —
+    Catalyst prunes the aggregate VALUES under a count, leaving only the
+    group-key explode.) Downstream: one combinable count shuffle keyed on
     (doc_id, n, gram), one combinable rollup to (doc_id, n), a 9-rows-per-
     doc pivot, and a final left join back to the doc spine for sub-2-word
     documents. Gram keys include doc_id, so skew is bounded by a single
