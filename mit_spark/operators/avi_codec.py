@@ -82,17 +82,21 @@ def encode_avi_mjpg(
 
 def decode_avi_mjpg(data: bytes) -> list[np.ndarray]:
     """AVI bytes -> list of decoded frames ((H,W) or (H,W,3) uint8).
-    Walks the RIFF tree, requires an MJPG 'vids' stream, decodes every
-    stream-00 compressed-video ('00dc') chunk via the stdlib JPEG decoder
-    — other streams' chunks (e.g. '01dc' of a second stream) are ignored
+    Walks the RIFF tree, requires an MJPG 'vids' stream, and decodes the
+    compressed-video chunks of THAT stream's index ('NNdc' where NN is the
+    vids stream's position among the strh headers — stream numbering is
+    positional in AVI, so a file whose audio strl precedes the video one
+    carries its frames as '01dc'). Other streams' chunks are ignored
     rather than fed to the JPEG decoder."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI (RIFF/'AVI ' header missing)")
     handler = None
-    frames: list[np.ndarray] = []
+    vid_stream = -1
+    n_streams = 0
+    blobs: list[tuple[bytes, bytes]] = []  # (stream-id fourcc prefix, jpeg)
 
     def walk(buf: bytes) -> None:
-        nonlocal handler
+        nonlocal handler, vid_stream, n_streams
         pos = 0
         while pos + 8 <= len(buf):
             tag = buf[pos : pos + 4]
@@ -101,10 +105,12 @@ def decode_avi_mjpg(data: bytes) -> list[np.ndarray]:
             if tag == b"LIST":
                 walk(payload[4:])  # skip the list-kind fourcc
             elif tag == b"strh":
-                if payload[:4] == b"vids":
+                if payload[:4] == b"vids" and vid_stream < 0:
                     handler = payload[4:8]
-            elif tag == b"00dc":
-                frames.append(decode_jpeg(payload))
+                    vid_stream = n_streams
+                n_streams += 1
+            elif tag[2:4] == b"dc" and tag[:2].isdigit():
+                blobs.append((tag[:2], payload))
             pos += 8 + ln + (ln & 1)
 
     walk(data[12:])
@@ -112,6 +118,8 @@ def decode_avi_mjpg(data: bytes) -> list[np.ndarray]:
         raise ValueError("no video stream header found")
     if handler != b"MJPG":
         raise ValueError(f"only MJPG streams supported (got {handler!r})")
+    want = b"%02d" % vid_stream
+    frames = [decode_jpeg(b) for sid, b in blobs if sid == want]
     if not frames:
         raise ValueError("no frame chunks in movi list")
     return frames

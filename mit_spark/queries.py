@@ -748,7 +748,14 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GOPHER_TOP = {2: 0.20, 3: 0.18, 4: 0.16}  # Rae et al. 2021 Table A1
 _GOPHER_DUP = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
-_GOPHER_ENC = 100000  # top-gram encoder: cnt * ENC + char_len (len << ENC)
+# top-gram encoder: cnt * ENC + char_len. ENC bounds the representable gram
+# char length: a 2-4-gram of >= ENC chars would alias into the count field
+# and corrupt the stat IDENTICALLY in both engines (the oracle shares the
+# encoding, so the value hash could not catch it). 1e9 makes the domain
+# bound explicit and absurd — a single n<=10 word-gram of a billion chars —
+# while cnt stays < 9.2e9 before BIGINT overflow, where Spark's ANSI mode
+# fails loudly rather than wrapping.
+_GOPHER_ENC = 1_000_000_000
 
 
 def _gopher_rep_sql() -> str:
@@ -830,7 +837,7 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the "most frequent n-gram" is tie-broken to the LONGEST
     such gram by encoding (cnt, char_len) into one BIGINT
-    (cnt*100000 + len, len << 100000) and taking max() — Counter-insertion
+    (cnt*1e9 + len, len << 1e9) and taking max() — Counter-insertion
     order, the reference implementations' tie-break, is not reproducible
     in SQL. All nine fractions are single int/int double divisions
     (bit-exact cross-engine); the keep flag compares the UNROUNDED
@@ -6072,12 +6079,19 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sqrt(F.sum("n_tok").cast("double"))).cast("long").alias("w"),
     )
     # integer target: total_tokens * w DIV sum(w) — the global windows run
-    # over the K-row domain frame (driver-sized, the mixture_weights rule)
+    # over the K-row domain frame (driver-sized, the mixture_weights rule).
+    # The product goes through decimal(38,0): at the 100 TB design point
+    # (2.5e13 corpus tokens x w ~ sqrt(1e13)) total*w ~ 8e19 exceeds BIGINT,
+    # where ANSI mode would throw; DuckDB's sum(BIGINT) is already HUGEINT,
+    # so decimal keeps the two engines bit-identical at any corpus size.
     tgt = dom.select(
         "source",
         "lang",
         "dom_tok",
-        F.expr("sum(dom_tok) over () * w div sum(w) over ()").alias("target_tok"),
+        F.expr(
+            "cast((cast(sum(dom_tok) over () as decimal(38,0)) * w)"
+            " div sum(w) over () as bigint)"
+        ).alias("target_tok"),
     )
     cum = (
         Window.partitionBy("source", "lang")

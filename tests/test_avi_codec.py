@@ -73,3 +73,26 @@ def test_unsupported_rejected():
         decode_avi_mjpg(_manual_container([blob], handler=b"H264"))
     with pytest.raises(ValueError, match="frame"):
         decode_avi_mjpg(_manual_container([]))
+
+
+def test_second_stream_video_decoded():
+    """AVI stream numbering is positional: a file whose audio strl precedes
+    the MJPG vids strl carries frames as '01dc'. The decoder must follow
+    the vids stream's index, not assume stream 00."""
+
+    def chunk(tag, payload):
+        pad = b"\x00" if len(payload) & 1 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    img = np.full((8, 8), 62, dtype=np.uint8)
+    blob = encode_jpeg(img)
+    auds = chunk(b"LIST", b"strl" + chunk(b"strh", b"auds" + b"\x00" * 52))
+    vids = chunk(b"LIST", b"strl" + chunk(b"strh", b"vids" + b"MJPG" + bytes(48)))
+    hdrl = chunk(b"LIST", b"hdrl" + auds + vids)
+    movi = chunk(
+        b"LIST",
+        b"movi" + chunk(b"00wb", bytes(32)) + chunk(b"01dc", blob) + chunk(b"01dc", blob),
+    )
+    body = b"AVI " + hdrl + movi
+    frames = decode_avi_mjpg(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert len(frames) == 2 and np.array_equal(frames[0], img)
