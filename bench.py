@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "keyword_search_topk",
     "hybrid_rrf_fusion",
     "simhash_hamming_pairs",
+    "lm_perplexity_buckets",
     "decontaminate_ngrams",
     "pii_redaction",
     "events_asof_join",

@@ -923,6 +923,102 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_PPLX_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(split(trim(text), ' ')) AS t FROM documents
+    ), lm AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t
+    ), nn AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n FROM lm
+    ), s AS (
+      SELECT t, CAST(floor(1000.0 * log2(CAST(n AS DOUBLE) / c)) AS BIGINT) AS s
+      FROM lm, nn
+    ), ds AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(s.s) AS DOUBLE) / count(*) AS score
+      FROM toks JOIN s USING (t) GROUP BY doc_id
+    ), q AS (
+      SELECT quantile_cont(score, 0.25) AS q1, quantile_cont(score, 0.75) AS q3
+      FROM ds
+    )
+    SELECT doc_id, n_tok, round(score, 6) AS surprisal_millibits,
+           CASE WHEN score <= q1 THEN 'head'
+                WHEN score <= q3 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM ds, q ORDER BY doc_id
+    """
+
+
+@register("lm_perplexity_buckets", _PPLX_SQL)
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020 §4.3): score every
+    document with a corpus language model and split the corpus into
+    head / middle / tail quality buckets at the score quartiles — the
+    standard "keep the head, maybe the middle, drop the tail" curation
+    dial. The LM here is the corpus unigram model; per-token surprisal is
+    stored in INTEGER MILLIBITS, floor(1000*log2(N/c)), so the per-doc
+    aggregate is a BIGINT sum (order-independent — a raw double sum over
+    shuffled partitions is not reproducible) and the doc score is one
+    int/int double division, bit-exact cross-engine. The only float that
+    crosses an engine boundary is log2 inside the per-VOCAB-TERM table,
+    where floor() could flip only if 1000*log2(N/c) sat within libm-ulp
+    of an integer — measured margin >= 3e-3 millibits at all three test
+    scales, guarded by tests/test_perplexity_margins.py (the kmeans
+    assignment-margin discipline). Bucket boundaries are the exact
+    quartiles; the boundary comparison is on identical doubles in both
+    engines (nearest distinct score >= 3.7e-4 away, same guard).
+
+    Plan shape at 100 TB: the vocab LM is the CCNet artifact — built by
+    one combinable token-count shuffle, then BROADCAST into the scoring
+    join (CCNet ships the LM to every worker; same thing), so the corpus
+    shuffles once on doc_id for the per-doc sum. The quartile boundary
+    agg uses Spark's exact percentile over the per-doc score table (one
+    row per doc); at corpus scale the boundaries come from
+    approx_percentile or a staged sample exactly as CCNet computes its
+    cutoffs on a Wikipedia sample — the cutoff is a MODEL PARAMETER, not
+    part of the scored data path."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    )
+    tok = d.select("doc_id", F.explode("toks").alias("t"))
+    lm = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nn = lm.agg(F.sum("c").cast("long").alias("n"))
+    s = lm.crossJoin(F.broadcast(nn)).select(
+        "t",
+        F.floor(F.lit(1000.0) * F.log2(F.col("n").cast("double") / F.col("c")))
+        .cast("long")
+        .alias("s"),
+    )
+    ds = (
+        tok.join(F.broadcast(s), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("s").alias("ssum"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            (F.col("ssum").cast("double") / F.col("n_tok")).alias("score"),
+        )
+    )
+    q = ds.agg(F.expr("percentile(score, array(0.25D, 0.75D))").alias("qs")).select(
+        F.col("qs")[0].alias("q1"), F.col("qs")[1].alias("q3")
+    )
+    return (
+        ds.crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round("score", 6).alias("surprisal_millibits"),
+            F.when(F.col("score") <= F.col("q1"), "head")
+            .when(F.col("score") <= F.col("q3"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "boilerplate_strip",
     f"""
@@ -6154,6 +6250,7 @@ _WINDOW_BACK = [
     "token_count_bpe",  # rotated out for r5's corpus_integrity_audit
     "language_id_ngram",  # rotated out for r5's mixture_resample
     "decontaminate_ngrams",  # rotated out for r5's simhash_hamming_pairs
+    "docs_span_stats",  # rotated out for r5's lm_perplexity_buckets
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
