@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "hybrid_rrf_fusion",
     "simhash_hamming_pairs",
     "lm_perplexity_buckets",
+    "dsir_importance_weights",
     "decontaminate_ngrams",
     "pii_redaction",
     "events_asof_join",

@@ -1019,6 +1019,132 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_B = 64  # hashed-feature buckets (Xie et al. use 1e4; a parameter)
+
+
+def _dsir_sql() -> str:
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(ws[1 : greatest(len(ws) - 1, 0)],
+                                   (w, i) -> w || ' ' || ws[i + 1])) AS gram
+      FROM (SELECT doc_id, lang, split(trim(text), ' ') AS ws FROM documents)
+    ), bkt AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT % {_DSIR_B} AS b
+      FROM grams
+    ), counts AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS rc,
+             CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS tc
+      FROM bkt GROUP BY b
+    ), tot AS (
+      SELECT CAST(sum(rc) AS BIGINT) AS rtot, CAST(sum(tc) AS BIGINT) AS ttot
+      FROM counts
+    ), lam AS (
+      SELECT b, CAST(floor(1000.0 * log2(
+               (CAST(tc + 1 AS DOUBLE) / (ttot + {_DSIR_B}))
+               / (CAST(rc + 1 AS DOUBLE) / (rtot + {_DSIR_B}))
+             )) AS BIGINT) AS lam
+      FROM counts, tot
+    ), ds AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(lam) AS BIGINT) AS imp
+      FROM bkt JOIN lam USING (b) GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+           coalesce(imp, 0) AS importance_millibits,
+           round(CAST(coalesce(imp, 0) AS DOUBLE)
+                 / greatest(coalesce(n_grams, 0), 1), 6) AS avg_millibits,
+           CAST(coalesce(imp, 0) > 0 AS INT) AS selected
+    FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register("dsir_importance_weights", _dsir_sql())
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    score every raw document by the log importance ratio between a TARGET
+    distribution and the RAW distribution, both modeled as bag-of-hashed-
+    bigram multinomials. Target here = the lang='en' slice (the paper's
+    "looks like the target domain" formulation with an in-corpus target);
+    features = word bigrams hashed into {_DSIR_B} buckets via the md5
+    idiom (`_h_sql`), add-one smoothed. The per-bucket log ratio is stored
+    in INTEGER MILLIBITS — floor(1000*log2(pt/pr)) — so the per-doc
+    importance is a BIGINT sum over gram occurrences (order-independent;
+    the raw double sum a naive port would use is not reproducible across
+    partitionings), and selection is the deterministic sign test
+    importance > 0 (doc more target-like than raw). The only cross-engine
+    float is log2 inside the {_DSIR_B}-row bucket table; floor-flip risk
+    is margin-guarded by tests/test_perplexity_margins.py (measured
+    >= 1.7e-3 millibits from the nearest integer; libm ulp ~ 1e-10).
+
+    Plan shape at 100 TB: ONE gram pass computes both distributions (the
+    target count is a conditional sum riding the same groupBy — no second
+    corpus scan); the bucket table is {_DSIR_B} rows broadcast into the
+    scoring join, so scoring shuffles the corpus once on doc_id. In
+    production DSIR the bucket table is the trained artifact computed on
+    a target sample and shipped to workers — identical topology. The doc
+    spine LEFT JOIN reinstates gram-less (<2-word) docs at importance 0."""
+    d = read_table(spark, sf_dir, "documents")
+    gram_arr = F.expr(
+        "transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))"
+    )
+    grams = d.select("doc_id", "lang", F.split(F.trim("text"), " ").alias("ws")).select(
+        "doc_id", "lang", F.explode(gram_arr).alias("gram")
+    )
+    bkt = grams.select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long") % _DSIR_B).alias(
+            "b"
+        ),
+    )
+    counts = bkt.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("rc"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("tc"),
+    )
+    tot = counts.agg(
+        F.sum("rc").cast("long").alias("rtot"), F.sum("tc").cast("long").alias("ttot")
+    )
+    lam = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            F.lit(1000.0)
+            * F.log2(
+                ((F.col("tc") + 1).cast("double") / (F.col("ttot") + _DSIR_B))
+                / ((F.col("rc") + 1).cast("double") / (F.col("rtot") + _DSIR_B))
+            )
+        )
+        .cast("long")
+        .alias("lam"),
+    )
+    ds = (
+        bkt.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("lam").cast("long").alias("imp"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(ds, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("imp", F.lit(0)).cast("long").alias("importance_millibits"),
+            F.round(
+                F.coalesce("imp", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("avg_millibits"),
+            (F.coalesce("imp", F.lit(0)) > 0).cast("int").alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "boilerplate_strip",
     f"""
@@ -6251,6 +6377,7 @@ _WINDOW_BACK = [
     "language_id_ngram",  # rotated out for r5's mixture_resample
     "decontaminate_ngrams",  # rotated out for r5's simhash_hamming_pairs
     "docs_span_stats",  # rotated out for r5's lm_perplexity_buckets
+    "embedding_near_dup",  # rotated out for r5's dsir_importance_weights
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats

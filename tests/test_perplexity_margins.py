@@ -67,3 +67,35 @@ def test_quartile_boundary_margin(con):
     # equal in both engines); near-but-not-equal scores need the margin
     assert m1 is None or m1 > MARGIN
     assert m3 is None or m3 > MARGIN
+
+
+def test_dsir_lambda_floor_margin(con):
+    from mit_spark.queries import _DSIR_B as B
+
+    lo, hi = con.execute(
+        f"""
+        WITH grams AS (
+          SELECT lang, unnest(list_transform(ws[1 : greatest(len(ws) - 1, 0)],
+                                (w, i) -> w || ' ' || ws[i + 1])) AS gram
+          FROM (SELECT lang, split(trim(text), ' ') AS ws FROM documents)
+        ), bkt AS (
+          SELECT lang, ('0x' || substr(md5(gram), 1, 8))::BIGINT % {B} AS b FROM grams
+        ), counts AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS rc,
+                 CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS tc
+          FROM bkt GROUP BY b
+        ), tot AS (
+          SELECT CAST(sum(rc) AS BIGINT) AS rtot, CAST(sum(tc) AS BIGINT) AS ttot
+          FROM counts
+        ), v AS (
+          SELECT 1000.0 * log2((CAST(tc + 1 AS DOUBLE) / (ttot + {B}))
+                               / (CAST(rc + 1 AS DOUBLE) / (rtot + {B}))) AS x
+          FROM counts, tot
+        )
+        SELECT min(x - floor(x)) FILTER (x != floor(x)),
+               min(ceil(x) - x) FILTER (x != ceil(x))
+        FROM v
+        """
+    ).fetchone()
+    assert lo is None or lo > MARGIN
+    assert hi is None or hi > MARGIN
