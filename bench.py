@@ -90,6 +90,10 @@ BENCH_QUERIES = [
     "audio_waveform_stats",
     "video_frame_stats",
     "corpus_curation_report",
+    # round 5: sketch / graph / tokenizer-induction entries
+    "cardinality_kmv_sketch",
+    "pagerank_dup_graph",
+    "bpe_merge_candidates",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

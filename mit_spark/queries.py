@@ -4427,6 +4427,106 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_SCALE = 1_000_000  # rank unit: millionths (r0 = 1.0)
+_PR_BASE = 150_000  # (1 - d) * SCALE with damping d = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_sql() -> str:
+    """Oracle: the same three unrolled power iterations in pure SQL over
+    the SQL-re-derived verified-dup pair graph. All arithmetic is integer
+    (floor divisions), so the per-node sums are exact BIGINTs and the
+    value hash is engine-independent — no IEEE accumulation-order hazard."""
+    verify = _minhash_verify_sql()
+    its = []
+    prev = "r0"
+    for t in range(1, _PR_ITERS + 1):
+        its.append(
+            f"""r{t} AS (
+      SELECT deg.node, deg.deg,
+             CAST({_PR_BASE} + (85 * s.c) // 100 AS BIGINT) AS r
+      FROM deg JOIN (
+        SELECT e.dst AS node, CAST(sum(p.r // p.deg) AS BIGINT) AS c
+        FROM edges e JOIN {prev} p ON e.src = p.node GROUP BY e.dst
+      ) s ON deg.node = s.node
+    )"""
+        )
+        prev = f"r{t}"
+    return f"""
+    WITH vp AS (
+      SELECT doc_a, doc_b FROM ({verify}) v
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM vp
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM vp
+    ), deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, deg, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg
+    ), {", ".join(its)}
+    SELECT node AS doc_id, deg AS degree, r AS pr
+    FROM {prev} ORDER BY doc_id
+    """
+
+
+@register("pagerank_dup_graph", _pagerank_sql())
+def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the verified near-duplicate pair graph —
+    the canonical-document scorer a dedup finishing stage can use instead
+    of min-doc_id: within a duplicate cluster the highest-rank node is the
+    most-connected (most-duplicated) variant, a better survivor pick than
+    an arbitrary id. Three unrolled power iterations with damping 0.85
+    over the undirected pair graph (each pair contributes both directed
+    edges).
+
+    EXACT INTEGER formulation so the oracle hash is engine-independent:
+    ranks live in millionths (r0 = 1_000_000), each node sends
+    r div deg to every neighbor (integer floor div), and the update is
+    r' = 150_000 + (85 * sum_contribs) div 100. Integer sums are
+    associative-exact, so no accumulation-order drift — same discipline as
+    the millibit log scores in lm_perplexity_buckets.
+
+    Plan shape at 100 TB: the graph is |verified pairs| — orders of
+    magnitude smaller than the corpus (candidates were LSH-restricted,
+    then Jaccard-verified), and it is read from the staged pair parquet
+    (same artifact dedup_clusters consumes — built once per sf_dir). Each
+    iteration is one equi-join of edges with the rank table (both keyed on
+    node — co-partitionable, AQE can broadcast the rank side for small
+    components) and one combinable sum keyed on dst. Degrees ride with the
+    rank state so no per-iteration re-join against a degree table. No
+    driver-side data movement; the loop count is a compile-time constant."""
+    pairs, _ = _staged_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .withColumnRenamed("src", "node")
+    )
+    state = deg.select("node", "deg", F.lit(_PR_SCALE).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contribs = (
+            edges.alias("e")
+            .join(state.alias("s"), F.col("e.src") == F.col("s.node"))
+            .select(F.col("e.dst").alias("node"), F.expr("r div deg").alias("con"))
+            .groupBy("node")
+            .agg(F.sum("con").alias("c"))
+        )
+        state = (
+            deg.alias("d")
+            .join(contribs.alias("c"), F.col("d.node") == F.col("c.node"))
+            .select(
+                F.col("d.node").alias("node"),
+                F.col("d.deg").alias("deg"),
+                (F.lit(_PR_BASE).cast("long") + F.expr("(85 * c) div 100")).alias("r"),
+            )
+        )
+    return state.select(
+        F.col("node").alias("doc_id"), F.col("deg").alias("degree"), F.col("r").alias("pr")
+    ).orderBy("doc_id")
+
+
 @register(
     "stratified_sample",
     """
@@ -5576,6 +5676,162 @@ def corpus_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 64  # sketch size: keep the K smallest hashes per group
+_KMV_W = 48  # hash width in bits (12 md5 hex chars — fits BIGINT with headroom)
+_KMV_NUM = (_KMV_K - 1) << _KMV_W  # (K-1) * 2^W, the estimator numerator
+
+
+def _kmv_sql() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT source, doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w
+      FROM (SELECT source, doc_id, split(trim(text), ' ') AS words FROM documents)
+    ), sh AS (
+      SELECT source,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle,
+             lead(w, 2) OVER win AS w2
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), ds AS (
+      SELECT DISTINCT source, shingle FROM sh WHERE w2 IS NOT NULL
+    ), nh AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct FROM ds GROUP BY source
+    ), dh AS (
+      SELECT DISTINCT source, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h FROM ds
+    ), kth AS (
+      SELECT source, max(h) AS hk FROM (
+        SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM dh
+      ) WHERE rn <= {_KMV_K} GROUP BY source
+    ), est AS (
+      SELECT nh.source, nh.exact_distinct,
+             CAST(CASE WHEN nh.exact_distinct < {_KMV_K} THEN nh.exact_distinct
+                  ELSE {_KMV_NUM} // kth.hk END AS BIGINT) AS kmv_est
+      FROM nh JOIN kth ON nh.source = kth.source
+    )
+    SELECT source, exact_distinct, kmv_est,
+           CAST(abs(kmv_est - exact_distinct) AS BIGINT) AS abs_err
+    FROM est ORDER BY source
+    """
+
+
+@register("cardinality_kmv_sketch", _kmv_sql())
+def cardinality_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002) —
+    the mergeable-cardinality primitive a 100 TB curation pipeline uses to
+    plan dedup work without an exact global DISTINCT: per source, the
+    number of distinct 3-gram shingles is estimated from the K = 64
+    smallest 48-bit hash values as (K-1) * 2^48 div h_(K), alongside the
+    exact count so the output IS the estimator-error evaluation (same
+    eval-harness pattern as ann_recall_eval). All integer arithmetic:
+    the hash is the first 12 md5 hex chars, the estimate a single BIGINT
+    floor division — bit-exact across engines, no floating point anywhere.
+
+    Plan shape at 100 TB: the heavy stage is the (source, shingle)
+    distinct — one combinable shuffle keyed on the shingle-bearing row
+    (map-side partial dedup). The rank window runs on the per-source
+    DISTINCT HASH table only. The sketch itself is mergeable — the K
+    smallest of a union is computable from per-partition K-smallest — so
+    at corpus scale the window collapses to a two-phase top-K merge and
+    the exact_distinct column is what you'd drop first; it's retained here
+    because measuring the estimator against truth is the point of the
+    entry. Estimator sanity is property-tested in tests/test_sketches.py."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.split(F.trim("text"), " ").alias("words")
+    )
+    tok = d.select("source", "doc_id", F.posexplode("words").alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    sh = tok.select(
+        "source",
+        F.concat_ws(" ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)).alias(
+            "shingle"
+        ),
+        F.lead("w", 2).over(win).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    ds = sh.select("source", "shingle").distinct()
+    nh = ds.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    dh = ds.select(
+        "source",
+        F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("long").alias("h"),
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("h"))
+    kth = (
+        dh.withColumn("rn", rn)
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("source")
+        .agg(F.max("h").alias("hk"))
+    )
+    est = F.when(
+        F.col("exact_distinct") < _KMV_K, F.col("exact_distinct")
+    ).otherwise(F.expr(f"CAST({_KMV_NUM} AS BIGINT) div hk"))
+    return (
+        nh.join(kth, "source")
+        .select("source", "exact_distinct", est.cast("long").alias("kmv_est"))
+        .select(
+            "source",
+            "exact_distinct",
+            "kmv_est",
+            F.abs(F.col("kmv_est") - F.col("exact_distinct")).cast("long").alias("abs_err"),
+        )
+        .orderBy("source")
+    )
+
+
+_BPE_TOPK = 20
+
+
+@register(
+    "bpe_merge_candidates",
+    f"""
+    WITH vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+      WHERE length(w) >= 2 GROUP BY w
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair,
+             cnt
+      FROM vocab
+    ), agg AS (
+      SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count FROM pairs GROUP BY pair
+    )
+    SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS BIGINT)
+             AS merge_rank,
+           pair, pair_count
+    FROM agg ORDER BY merge_rank LIMIT {_BPE_TOPK}
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of BPE tokenizer training (Sennrich et al. 2016):
+    rank adjacent symbol pairs by corpus frequency — the top pair is the
+    first merge a BPE learner would perform. Uses the classic scale trick
+    that makes BPE training feasible on a 100 TB corpus: pair counts are
+    computed over the WORD VOCABULARY weighted by word frequency, never
+    over the raw token stream — one combinable word-count shuffle reduces
+    the corpus to its vocabulary, then the pair explode runs on vocab-many
+    rows (each word contributes len-1 pairs x its corpus count via a
+    single integer multiply-free weighted sum). The final top-20 window
+    runs on the pair-census table (bounded by vocab x max word length),
+    not on anything corpus-sized. All-integer output, bit-exact."""
+    d = read_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.trim("text"), " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "cnt",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("cnt").cast("long").alias("pair_count"))
+    rn = F.row_number().over(Window.orderBy(F.desc("pair_count"), F.asc("pair")))
+    return (
+        agg.withColumn("merge_rank", rn.cast("long"))
+        .filter(F.col("merge_rank") <= _BPE_TOPK)
+        .select("merge_rank", "pair", "pair_count")
+        .orderBy("merge_rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # semantic clustering: distributed Lloyd's k-means over the embedding column
 
@@ -6365,6 +6621,9 @@ _WINDOW_BACK = [
     # green r4 (recorded row in CORRECTNESS_r04):
     "q6_forecast_revenue",  # rotated out for r5's ann_multiprobe_recall
     "q10_returned_items",  # rotated out for r5's embedding_quant_recall
+    "minhash_near_dup",  # rotated out for r5's pagerank_dup_graph
+    "stratified_sample",  # rotated out for r5's cardinality_kmv_sketch
+    "sequence_pack",  # rotated out for r5's bpe_merge_candidates
     # green r1–r4:
     "rolling_fingerprint",  # rotated out for r5's split_leakage_audit
     "ngram_jaccard_pairs",  # rotated out for r5's interval_overlap_join

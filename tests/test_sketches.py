@@ -1,0 +1,150 @@
+"""Independent second gates for the round-5 sketch/graph/tokenizer entries
+(cardinality_kmv_sketch, pagerank_dup_graph, bpe_merge_candidates).
+
+Each test re-derives the expected answer with a pure-Python reference
+implementation (collections.Counter / dict arithmetic) rather than SQL, so
+a bug shared by the Spark plan and its DuckDB oracle (e.g. a common
+misreading of the estimator or the iteration order) would still be caught.
+"""
+
+import collections
+import hashlib
+
+import duckdb
+
+SF = "/root/testdata/sf0.001"
+
+
+def _texts():
+    rows = duckdb.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet' ORDER BY source"
+    ).fetchall()
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# cardinality_kmv_sketch
+
+
+def test_kmv_matches_pure_python_estimator(spark):
+    import mit_spark.queries as Q
+
+    got = {
+        r["source"]: (r["exact_distinct"], r["kmv_est"], r["abs_err"])
+        for r in Q.cardinality_kmv_sketch(spark, SF).collect()
+    }
+    shingles = collections.defaultdict(set)
+    for source, text in _texts():
+        ws = text.strip().split(" ")
+        for i in range(len(ws) - 2):
+            shingles[source].add(" ".join(ws[i : i + 3]))
+    assert set(got) == set(shingles)
+    for source, ss in shingles.items():
+        hs = sorted(
+            int(hashlib.md5(s.encode()).hexdigest()[:12], 16) for s in ss
+        )
+        exact = len(ss)
+        if exact < Q._KMV_K:
+            est = exact
+        else:
+            est = Q._KMV_NUM // hs[Q._KMV_K - 1]
+        assert got[source] == (exact, est, abs(est - exact))
+
+
+def test_kmv_exact_branch_and_error_bound(spark):
+    """Structural properties: when the group has fewer than K distinct
+    values the sketch IS exact; otherwise the estimate should land within
+    the loose 4/sqrt(K) = 50% relative-error envelope (KMV's std error is
+    ~1/sqrt(K-2) ~= 12.7% at K=64; 4 sigma gives a non-flaky bound)."""
+    import mit_spark.queries as Q
+
+    rows = Q.cardinality_kmv_sketch(spark, "/root/testdata/sf0.01").collect()
+    assert rows, "no sources"
+    for r in rows:
+        if r["exact_distinct"] < Q._KMV_K:
+            assert r["kmv_est"] == r["exact_distinct"]
+        else:
+            assert r["abs_err"] / r["exact_distinct"] < 0.5, r
+
+
+# ---------------------------------------------------------------------------
+# bpe_merge_candidates
+
+
+def test_bpe_matches_pure_python_counter(spark):
+    import mit_spark.queries as Q
+
+    vocab = collections.Counter()
+    for _source, text in _texts():
+        for w in text.strip().split(" "):
+            if len(w) >= 2:
+                vocab[w] += 1
+    pair_counts = collections.Counter()
+    for w, cnt in vocab.items():
+        for i in range(len(w) - 1):
+            pair_counts[w[i : i + 2]] += cnt
+    expected = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected = [
+        (rank + 1, pair, cnt) for rank, (pair, cnt) in enumerate(expected)
+    ][: Q._BPE_TOPK]
+    got = [
+        (r["merge_rank"], r["pair"], r["pair_count"])
+        for r in Q.bpe_merge_candidates(spark, SF).collect()
+    ]
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# pagerank_dup_graph
+
+
+def _python_pagerank(pairs, iters, scale, base):
+    adj = collections.defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    r = {v: scale for v in adj}
+    deg = {v: len(ns) for v, ns in adj.items()}
+    for _ in range(iters):
+        recv = collections.defaultdict(int)
+        for v, ns in adj.items():
+            c = r[v] // deg[v]
+            for n in ns:
+                recv[n] += c
+        r = {v: base + (85 * recv[v]) // 100 for v in adj}
+    return r, deg
+
+
+def test_pagerank_matches_pure_python_iteration(spark):
+    """The graph itself comes from minhash_verified_dups (separately
+    oracle-gated); this test independently re-runs the integer power
+    iteration in plain Python dicts and demands bit-equality."""
+    import mit_spark.queries as Q
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in Q.minhash_verified_dups(spark, SF).select("doc_a", "doc_b").collect()
+    ]
+    assert pairs, "verified-dup graph is empty at sf0.001"
+    expect_r, expect_deg = _python_pagerank(
+        pairs, Q._PR_ITERS, Q._PR_SCALE, Q._PR_BASE
+    )
+    got = Q.pagerank_dup_graph(spark, SF).collect()
+    assert {r["doc_id"] for r in got} == set(expect_r)
+    for row in got:
+        assert row["degree"] == expect_deg[row["doc_id"]]
+        assert row["pr"] == expect_r[row["doc_id"]]
+
+
+def test_pagerank_rank_bounds(spark):
+    """Every node's rank stays within [BASE, BASE + 0.85 * total mass]:
+    the damped update can never drop below the teleport floor, and integer
+    floor-divisions only ever lose mass."""
+    import mit_spark.queries as Q
+
+    rows = Q.pagerank_dup_graph(spark, SF).collect()
+    n = len(rows)
+    total = sum(r["pr"] for r in rows)
+    for r in rows:
+        assert r["pr"] >= Q._PR_BASE
+    assert total <= n * Q._PR_SCALE  # floor divisions are lossy, never creative
