@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "cardinality_kmv_sketch",
     "pagerank_dup_graph",
     "bpe_merge_candidates",
+    "heavy_hitters_cms",
+    "cluster_purity_eval",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

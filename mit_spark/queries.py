@@ -5776,6 +5776,145 @@ def cardinality_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_D = 4  # depth: independent hash rows
+_CMS_W = 256  # width: buckets per row
+_CMS_TOPK = 20
+
+
+def _cms_sql() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w
+      FROM (SELECT doc_id, split(trim(text), ' ') AS words FROM documents)
+    ), sh AS (
+      SELECT w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle,
+             lead(w, 2) OVER win AS w2
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), exact AS (
+      SELECT shingle, CAST(count(*) AS BIGINT) AS exact_count
+      FROM sh WHERE w2 IS NOT NULL GROUP BY shingle
+    ), js AS (
+      SELECT unnest(range({_CMS_D})) AS j
+    ), counters AS (
+      SELECT j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ' ' || shingle), 1, 8))::BIGINT
+               % {_CMS_W} AS bucket,
+             CAST(sum(exact_count) AS BIGINT) AS c
+      FROM exact CROSS JOIN js GROUP BY 1, 2
+    ), top AS (
+      SELECT shingle, exact_count,
+             row_number() OVER (ORDER BY exact_count DESC, shingle) AS hh_rank
+      FROM exact
+    ), est AS (
+      SELECT t.shingle, t.exact_count, t.hh_rank, CAST(min(c.c) AS BIGINT) AS cms_est
+      FROM top t CROSS JOIN js
+      JOIN counters c
+        ON c.j = js.j
+       AND c.bucket = ('0x' || substr(md5(CAST(js.j AS VARCHAR) || ' ' || t.shingle),
+                                      1, 8))::BIGINT % {_CMS_W}
+      WHERE t.hh_rank <= {_CMS_TOPK}
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(hh_rank AS BIGINT) AS hh_rank, shingle, exact_count, cms_est,
+           CAST(cms_est - exact_count AS BIGINT) AS overestimate
+    FROM est ORDER BY hh_rank
+    """
+
+
+@register("heavy_hitters_cms", _cms_sql())
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimation (Cormode & Muthukrishnan
+    2005) — the second mergeable sketch family next to the KMV entry: a
+    depth-4 x width-256 counter matrix over the 3-gram shingle stream,
+    queried for the top-20 shingles by true count, emitted WITH the exact
+    counts so the output is the one-sided-error evaluation (CMS never
+    underestimates; `overestimate` is the collision mass, >= 0 for every
+    row — property-tested in tests/test_sketches.py).
+
+    Deterministic by construction: row hashes are md5("j shingle")
+    truncated to 32 bits mod width, counters are integer sums, the
+    estimate a min over 4 integers — bit-exact across engines.
+
+    Plan shape at 100 TB: the corpus collapses to its shingle-frequency
+    table in ONE combinable shuffle; the counter build then runs on the
+    frequency table (vocab-sized, 4 md5 calls per DISTINCT shingle — not
+    per occurrence) and reduces to <= d*w = 1024 rows, map-side
+    combinable, mergeable across partitions/streams by plain addition —
+    the reason CMS is the streaming counting structure. The top-20 probe
+    broadcasts 20 rows against the 1024-row counter table. The exact
+    column is the eval harness, not the production path — at corpus scale
+    the sketch is what you keep."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("words")
+    )
+    tok = d.select("doc_id", F.posexplode("words").alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    sh = tok.select(
+        F.concat_ws(" ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)).alias(
+            "shingle"
+        ),
+        F.lead("w", 2).over(win).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    exact = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+
+    def bucket(j, col="shingle"):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.lit(str(j)), col)), 1, 8), 16, 10
+            ).cast("long")
+            % _CMS_W
+        )
+
+    counters = (
+        exact.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"), bucket(j).alias("bucket")
+                        )
+                        for j in range(_CMS_D)
+                    ]
+                )
+            ).alias("jb"),
+            "exact_count",
+        )
+        .select(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"), "exact_count")
+        .groupBy("j", "bucket")
+        .agg(F.sum("exact_count").cast("long").alias("c"))
+    )
+    rn = F.row_number().over(Window.orderBy(F.desc("exact_count"), "shingle"))
+    top = exact.withColumn("hh_rank", rn.cast("long")).filter(
+        F.col("hh_rank") <= _CMS_TOPK
+    )
+    probes = top.select(
+        "shingle",
+        "exact_count",
+        "hh_rank",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j).alias("bucket"))
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select("shingle", "exact_count", "hh_rank", "jb.j", "jb.bucket")
+    est = (
+        F.broadcast(probes)
+        .join(counters, ["j", "bucket"])
+        .groupBy("shingle", "exact_count", "hh_rank")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "hh_rank",
+        "shingle",
+        "exact_count",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_count")).cast("long").alias("overestimate"),
+    ).orderBy("hh_rank")
+
+
 _BPE_TOPK = 20
 
 
@@ -6146,6 +6285,80 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= cap)
         .select("cluster", "vec_id")
         .orderBy("cluster", "vec_id")
+    )
+
+
+def _cluster_purity_sql() -> str:
+    with_clause, last = _kmeans_ctes()
+    return (
+        with_clause
+        + f""",
+    j AS (
+      SELECT a.cluster, e.label, count(*) AS n
+      FROM {last} a JOIN embeddings e ON a.vec_id = e.vec_id
+      GROUP BY a.cluster, e.label
+    ), tot AS (
+      SELECT cluster, CAST(sum(n) AS BIGINT) AS n_members FROM j GROUP BY cluster
+    ), maj AS (
+      SELECT cluster, label AS majority_label, CAST(n AS BIGINT) AS n_majority
+      FROM (
+        SELECT cluster, label, n,
+               row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rn
+        FROM j
+      ) WHERE rn = 1
+    )
+    SELECT t.cluster, t.n_members, m.majority_label, m.n_majority,
+           round(m.n_majority / CAST(t.n_members AS DOUBLE), 6) AS purity
+    FROM tot t JOIN maj m ON t.cluster = m.cluster
+    ORDER BY t.cluster
+    """
+    )
+
+
+@register("cluster_purity_eval", _cluster_purity_sql())
+def cluster_purity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation against ground truth — the harness
+    that tells you whether embedding_kmeans' clusters mean anything: per
+    cluster, the member count, the majority ground-truth label (the
+    embeddings table carries one), the majority's size, and purity
+    (n_majority / n_members, the standard external clustering metric).
+    Same eval-harness pattern as ann_recall_eval / cardinality_kmv_sketch:
+    the ground-truth column exists to measure the unsupervised operator.
+
+    Plan shape at 100 TB: kmeans labels come from the per-sf_dir staged
+    label table (built once); the label join is one id-keyed equi-join
+    (bucketable on vec_id), the confusion matrix one combinable groupBy
+    down to K x |labels| rows, and everything after runs on that
+    driver-sized table. The purity double is a single int/int division of
+    exact counts — bit-identical across engines, 6dp-rounded."""
+    km = _kmeans_labels(spark, sf_dir).select("vec_id", "cluster")
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    j = km.join(emb, "vec_id").groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = j.groupBy("cluster").agg(F.sum("n").cast("long").alias("n_members"))
+    rn = F.row_number().over(Window.partitionBy("cluster").orderBy(F.desc("n"), "label"))
+    maj = (
+        j.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("label").alias("majority_label"),
+            F.col("n").cast("long").alias("n_majority"),
+        )
+    )
+    return (
+        tot.join(maj, "cluster")
+        .select(
+            "cluster",
+            "n_members",
+            "majority_label",
+            "n_majority",
+            F.round(
+                F.col("n_majority") / F.col("n_members").cast("double"), 6
+            ).alias("purity"),
+        )
+        .orderBy("cluster")
     )
 
 
@@ -6624,6 +6837,8 @@ _WINDOW_BACK = [
     "minhash_near_dup",  # rotated out for r5's pagerank_dup_graph
     "stratified_sample",  # rotated out for r5's cardinality_kmv_sketch
     "sequence_pack",  # rotated out for r5's bpe_merge_candidates
+    "reading_order_sql",  # rotated out for r5's heavy_hitters_cms
+    "ann_ivf_topk",  # rotated out for r5's cluster_purity_eval
     # green r1–r4:
     "rolling_fingerprint",  # rotated out for r5's split_leakage_audit
     "ngram_jaccard_pairs",  # rotated out for r5's interval_overlap_join

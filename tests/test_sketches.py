@@ -68,6 +68,68 @@ def test_kmv_exact_branch_and_error_bound(spark):
 
 
 # ---------------------------------------------------------------------------
+# heavy_hitters_cms
+
+
+def test_cms_matches_pure_python_sketch(spark):
+    import mit_spark.queries as Q
+
+    exact = collections.Counter()
+    for _source, text in _texts():
+        ws = text.strip().split(" ")
+        for i in range(len(ws) - 2):
+            exact[" ".join(ws[i : i + 3])] += 1
+
+    def bucket(j, s):
+        return int(hashlib.md5(f"{j} {s}".encode()).hexdigest()[:8], 16) % Q._CMS_W
+
+    counters = collections.Counter()
+    for s, c in exact.items():
+        for j in range(Q._CMS_D):
+            counters[(j, bucket(j, s))] += c
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[: Q._CMS_TOPK]
+    expected = []
+    for rank, (s, c) in enumerate(top, start=1):
+        est = min(counters[(j, bucket(j, s))] for j in range(Q._CMS_D))
+        expected.append((rank, s, c, est, est - c))
+    got = [
+        (r["hh_rank"], r["shingle"], r["exact_count"], r["cms_est"], r["overestimate"])
+        for r in Q.heavy_hitters_cms(spark, SF).collect()
+    ]
+    assert got == expected
+
+
+def test_cms_one_sided_error(spark):
+    """CMS never underestimates: counters only ever ADD colliding mass."""
+    import mit_spark.queries as Q
+
+    rows = Q.heavy_hitters_cms(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == Q._CMS_TOPK
+    for r in rows:
+        assert r["cms_est"] >= r["exact_count"]
+        assert r["overestimate"] == r["cms_est"] - r["exact_count"]
+
+
+# ---------------------------------------------------------------------------
+# cluster_purity_eval
+
+
+def test_cluster_purity_invariants(spark):
+    """Members partition the embeddings table; the majority is a real
+    plurality; purity is the exact count ratio."""
+    import mit_spark.queries as Q
+
+    rows = Q.cluster_purity_eval(spark, SF).collect()
+    n_emb = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_members"] for r in rows) == n_emb
+    for r in rows:
+        assert 0 < r["n_majority"] <= r["n_members"]
+        assert abs(r["purity"] - round(r["n_majority"] / r["n_members"], 6)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
 # bpe_merge_candidates
 
 
