@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "bpe_merge_candidates",
     "heavy_hitters_cms",
     "cluster_purity_eval",
+    "hard_negative_mining",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

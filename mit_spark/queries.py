@@ -6362,6 +6362,88 @@ def cluster_purity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hard_negative_sql() -> str:
+    with_clause, last = _kmeans_ctes()
+    d_qn = _emb_fold_sql("q.e", "n.e", "l2")
+    return (
+        with_clause
+        + f""",
+    lab AS (
+      SELECT v.vec_id, v.e, a.cluster FROM v JOIN {last} a ON v.vec_id = a.vec_id
+    ), ranked AS (
+      SELECT q.vec_id AS q_id, q.cluster AS q_cluster,
+             n.vec_id AS n_id, n.cluster AS n_cluster,
+             {d_qn} AS d,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {d_qn}, n.vec_id) AS rn
+      FROM lab q JOIN lab n ON q.cluster <> n.cluster
+      WHERE q.vec_id < {_RECALL_N_QUERIES}
+    )
+    SELECT q_id, q_cluster, n_id, n_cluster, round(d, 6) AS d2, rn AS rank
+    FROM ranked WHERE rn <= {_RECALL_K} ORDER BY q_id, rank
+    """
+    )
+
+
+@register("hard_negative_mining", _hard_negative_sql())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR, Karpukhin et al.
+    2020; SimCSE): for each query in the panel, the top-k nearest vectors
+    that do NOT share the query's semantic cluster — the "close but not
+    positive" examples that make a dense retriever's contrastive loss
+    informative (random negatives are trivially separable; in-cluster
+    neighbors are likely positives and would poison the label). Cluster
+    membership comes from embedding_kmeans via the per-sf_dir staged label
+    table; the oracle re-derives the identical labels by composing
+    _kmeans_ctes() (the semantic_mixture_weights pattern).
+
+    Scale shape: the bounded query panel (with labels attached) is
+    BROADCAST into one nested-loop pass over the labeled corpus — cost
+    n x |panel|, linear in the corpus, the same affordable-eval shape as
+    _exact_panel_topk; the label attach is one id-keyed equi-join
+    (bucketable on vec_id). At mining scale (every training query needs
+    negatives, |panel| ~ corpus) you flip to the IVF index: probe the
+    query's nearest FOREIGN cells from the staged inverted lists
+    (`_ivf_assign`) so each query scores n/k candidates instead of n —
+    same plan family as ann_ivf_topk, swapping the cell-equality predicate
+    for cluster-inequality. Value safety: distances are index-order folds
+    (bit-identical across engines), ranking ties break on n_id, and the
+    kmeans assignment margin is ~7e-6 (measured) — nine orders above
+    cross-engine float noise."""
+    km = _kmeans_labels(spark, sf_dir).select("vec_id", "cluster")
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    lab = emb.join(km, "vec_id")
+    q = lab.filter(F.col("vec_id") < _RECALL_N_QUERIES).alias("q")
+    n = lab.alias("n")
+    pairs = (
+        F.broadcast(q)
+        .join(n, F.col("q.cluster") != F.col("n.cluster"))
+        .select(
+            F.col("q.vec_id").alias("q_id"),
+            F.col("q.cluster").alias("q_cluster"),
+            F.col("n.vec_id").alias("n_id"),
+            F.col("n.cluster").alias("n_cluster"),
+            _l2_fold(F.col("q.e"), F.col("n.e")).alias("d"),
+        )
+    )
+    rn = F.row_number().over(Window.partitionBy("q_id").orderBy("d", "n_id"))
+    return (
+        pairs.withColumn("rank", rn)
+        .filter(F.col("rank") <= _RECALL_K)
+        .select(
+            "q_id",
+            "q_cluster",
+            "n_id",
+            "n_cluster",
+            F.round("d", 6).alias("d2"),
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
 @register(
     "tfidf_topk_terms",
     """
@@ -6852,6 +6934,7 @@ _WINDOW_BACK = [
     "decontaminate_ngrams",  # rotated out for r5's simhash_hamming_pairs
     "docs_span_stats",  # rotated out for r5's lm_perplexity_buckets
     "embedding_near_dup",  # rotated out for r5's dsir_importance_weights
+    "pii_redaction",  # rotated out for r5's hard_negative_mining
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
