@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "heavy_hitters_cms",
     "cluster_purity_eval",
     "hard_negative_mining",
+    "cross_source_dup_matrix",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

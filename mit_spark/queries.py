@@ -4427,6 +4427,71 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cross_source_dup_sql() -> str:
+    def orig(col: str) -> str:
+        return f"CASE WHEN {col} >= 100000 THEN {col} - 100000 ELSE {col} END"
+
+    return f"""
+    WITH vp AS (SELECT doc_a, doc_b FROM ({_minhash_verify_sql()}) v),
+         m AS (SELECT {orig("doc_a")} AS da, {orig("doc_b")} AS db FROM vp),
+         s AS (
+           SELECT least(a.source, b.source) AS source_a,
+                  greatest(a.source, b.source) AS source_b
+           FROM m JOIN documents a ON m.da = a.doc_id
+                  JOIN documents b ON m.db = b.doc_id
+         )
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6)
+             AS pair_share
+    FROM s GROUP BY source_a, source_b ORDER BY source_a, source_b
+    """
+
+
+@register("cross_source_dup_matrix", _cross_source_dup_sql())
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-provenance duplication matrix: verified near-dup pairs
+    aggregated by the UNORDERED (source, source) pair of the two docs —
+    the audit that tells a curation run which sources mirror or scrape
+    each other (off-diagonal mass) versus merely republish internally
+    (diagonal mass), which in turn decides whether dedup should run
+    within-source or globally. Pair endpoints >= 100000 are the corpus's
+    truncated-mirror ids and map back to their origin doc (same
+    convention as the dedup pipeline that produced them); sources are
+    least/greatest-ordered so each unordered pair lands in one cell.
+
+    Scale shape: pure composition over the STAGED verified-pair parquet
+    (built at most once per sf_dir — the audit never recomputes minhash) —
+    two id-keyed equi-joins attach source metadata (pair-graph-sized;
+    broadcast at this sf, SMJ on bucketed doc_id at scale), then ONE
+    map-side-combinable groupBy down to at most |sources|^2 rows; the
+    share window runs over that driver-sized cell table. Counts are exact
+    BIGINTs; the only double is one count/total division, 6dp-rounded."""
+    pairs, _ = _staged_pairs(spark, sf_dir)
+
+    def orig(c: Column) -> Column:
+        return F.when(c >= 100000, c - 100000).otherwise(c)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a, b = docs.alias("a"), docs.alias("b")
+    cells = (
+        pairs.select(orig(F.col("doc_a")).alias("da"), orig(F.col("doc_b")).alias("db"))
+        .join(a, F.col("da") == F.col("a.doc_id"))
+        .join(b, F.col("db") == F.col("b.doc_id"))
+        .select(
+            F.least("a.source", "b.source").alias("source_a"),
+            F.greatest("a.source", "b.source").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    share = F.col("n_pairs") / F.sum("n_pairs").over(Window.partitionBy()).cast(
+        "double"
+    )
+    return cells.select(
+        "source_a", "source_b", "n_pairs", F.round(share, 6).alias("pair_share")
+    ).orderBy("source_a", "source_b")
+
+
 _PR_SCALE = 1_000_000  # rank unit: millionths (r0 = 1.0)
 _PR_BASE = 150_000  # (1 - d) * SCALE with damping d = 0.85
 _PR_ITERS = 3
@@ -6935,6 +7000,7 @@ _WINDOW_BACK = [
     "docs_span_stats",  # rotated out for r5's lm_perplexity_buckets
     "embedding_near_dup",  # rotated out for r5's dsir_importance_weights
     "pii_redaction",  # rotated out for r5's hard_negative_mining
+    "minhash_verified_dups",  # rotated out for r5's cross_source_dup_matrix
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
