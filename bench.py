@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "cluster_purity_eval",
     "hard_negative_mining",
     "cross_source_dup_matrix",
+    "quantile_sketch_eval",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

@@ -5980,6 +5980,119 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hh_rank")
 
 
+_QSK_BINW = 8  # histogram bin width (tokens)
+_QSK_BINS = 64  # bins 0..63; values past the range clamp into the last bin
+_QSK_QS = (50, 90, 99)  # evaluated quantiles (percent)
+
+
+def _qsketch_sql() -> str:
+    qs_list = ", ".join(str(q) for q in _QSK_QS)
+    return f"""
+    WITH c AS (SELECT len(split(trim(text), ' ')) AS n FROM documents),
+         hist AS (
+           SELECT least(n // {_QSK_BINW}, {_QSK_BINS - 1}) AS bin,
+                  count(*) AS cnt
+           FROM c GROUP BY 1
+         ),
+         hcum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+         vals AS (SELECT n, count(*) AS cnt FROM c GROUP BY n),
+         vcum AS (SELECT n, sum(cnt) OVER (ORDER BY n) AS cum FROM vals),
+         tot AS (SELECT count(*) AS n_docs FROM c),
+         qs AS (
+           SELECT q, n_docs, (q * n_docs + 99) // 100 AS target_rank
+           FROM tot, (SELECT unnest([{qs_list}]) AS q)
+         ),
+         est AS (
+           SELECT q, min({_QSK_BINW} * bin + {_QSK_BINW - 1}) AS est_value
+           FROM qs JOIN hcum ON hcum.cum >= qs.target_rank GROUP BY q
+         ),
+         ex AS (
+           SELECT q, min(n) AS exact_value
+           FROM qs JOIN vcum ON vcum.cum >= qs.target_rank GROUP BY q
+         )
+    SELECT CAST(qs.q AS BIGINT) AS quantile_pct,
+           CAST(qs.n_docs AS BIGINT) AS n_docs,
+           CAST(qs.target_rank AS BIGINT) AS target_rank,
+           CAST(est.est_value AS BIGINT) AS est_value,
+           CAST(ex.exact_value AS BIGINT) AS exact_value,
+           CAST(est.est_value - ex.exact_value AS BIGINT) AS overestimate
+    FROM qs JOIN est ON qs.q = est.q JOIN ex ON qs.q = ex.q
+    ORDER BY quantile_pct
+    """
+
+
+@register("quantile_sketch_eval", _qsketch_sql())
+def quantile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile sketch with its error measured against
+    truth — the third sketch-eval harness next to cardinality_kmv_sketch
+    and heavy_hitters_cms, and the SCALE path for token_length_quantiles'
+    exact percentiles: a fixed 64-bin x 8-token equi-width histogram of
+    per-doc token counts (counters mergeable by plain addition across
+    partitions/streams/days — the KLL/t-digest role with the simplest
+    possible structure), quantile estimate = the inclusive upper edge of
+    the first bin whose cumulative count reaches the target rank. The
+    exact type-1 quantile rides the VALUE-level distribution (groupBy n —
+    bounded by max document length, never corpus-sized), so NEITHER side
+    globally sorts the corpus: both are one combinable groupBy plus a
+    window over a driver-sized table. The estimate's bin edge is >= the
+    exact value that falls inside the bin, so `overestimate` is one-sided
+    (>= 0, bounded by the bin width) — same eval contract as the CMS
+    entry's collision mass.
+
+    All-integer end to end: counts, ranks (ceil via (q*N+99) div 100),
+    bin edges, and errors are exact BIGINTs — no float crosses the engine
+    boundary."""
+    c = read_table(spark, sf_dir, "documents").select(
+        F.size(F.split(F.trim("text"), " ")).alias("n")
+    )
+    hist = (
+        c.select(
+            F.least(F.expr(f"n DIV {_QSK_BINW}"), F.lit(_QSK_BINS - 1)).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    run = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    hcum = hist.select("bin", F.sum("cnt").over(run).alias("cum"))
+    vals = c.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    vrun = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+    vcum = vals.select("n", F.sum("cnt").over(vrun).alias("cum"))
+    qs = (
+        c.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            "n_docs", F.explode(F.array(*[F.lit(q) for q in _QSK_QS])).alias("q")
+        )
+        .withColumn("target_rank", F.expr("(q * n_docs + 99) DIV 100"))
+    )
+    est = (
+        qs.join(F.broadcast(hcum), F.col("cum") >= F.col("target_rank"))
+        .groupBy("q")
+        .agg(
+            F.min(F.lit(_QSK_BINW) * F.col("bin") + F.lit(_QSK_BINW - 1))
+            .cast("long")
+            .alias("est_value")
+        )
+    )
+    ex = (
+        qs.join(F.broadcast(vcum), F.col("cum") >= F.col("target_rank"))
+        .groupBy("q")
+        .agg(F.min("n").cast("long").alias("exact_value"))
+    )
+    return (
+        qs.join(est, "q")
+        .join(ex, "q")
+        .select(
+            F.col("q").cast("long").alias("quantile_pct"),
+            "n_docs",
+            "target_rank",
+            "est_value",
+            "exact_value",
+            (F.col("est_value") - F.col("exact_value")).cast("long").alias("overestimate"),
+        )
+        .orderBy("quantile_pct")
+    )
+
+
 _BPE_TOPK = 20
 
 
@@ -7001,6 +7114,7 @@ _WINDOW_BACK = [
     "embedding_near_dup",  # rotated out for r5's dsir_importance_weights
     "pii_redaction",  # rotated out for r5's hard_negative_mining
     "minhash_verified_dups",  # rotated out for r5's cross_source_dup_matrix
+    "media_channel_stats",  # rotated out for r5's quantile_sketch_eval
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
