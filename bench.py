@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "hard_negative_mining",
     "cross_source_dup_matrix",
     "quantile_sketch_eval",
+    "streaming_histogram_merge",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

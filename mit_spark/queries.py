@@ -3700,6 +3700,74 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("doc_id", "content_hash").orderBy("doc_id")
 
 
+@register(
+    "streaming_histogram_merge",
+    """
+    WITH c AS (
+      SELECT doc_id, least(len(split(trim(text), ' ')) // 8, 63) AS bin
+      FROM documents
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(DISTINCT doc_id % 4) AS BIGINT) AS n_batches
+    FROM c GROUP BY bin ORDER BY bin
+    """,
+)
+def streaming_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch family's STREAMING twin under the SQL gate: four arrival
+    files (doc_id % 4, mtime-pinned, one micro-batch each) drain through
+    histogram_merge_stream (streaming/micro_batch.py) — every micro-batch
+    appends its <= 64-row token-length histogram PARTIAL exactly-once, and
+    the merged corpus sketch is sum(cnt) per bin over the partial table.
+    `n_batches` (distinct partial rows per bin) PROVES the merge spanned
+    multiple micro-batches rather than one big one; since file k holds
+    exactly the docs with doc_id % 4 == k, the oracle re-derives it as
+    count(DISTINCT doc_id % 4) per bin. A lost batch, a double-applied
+    batch (exactly-once violated — the re-drain below would surface it),
+    or a wrong bin boundary each flip cnt or n_batches.
+
+    Scale shape: per-batch state is bounded at n_bins rows regardless of
+    batch size (the whole point of a mergeable sketch); the final merge is
+    one combinable groupBy over n_bins x n_batches rows — at a year of
+    micro-batches that is still driver-sized. Integer counters end to
+    end."""
+    import glob
+
+    from mit_spark.streaming.micro_batch import histogram_merge_stream
+
+    base = _staging_dir(sf_dir, "stream_hmerge", "v1")
+    inp, parts, ckp = f"{base}/in", f"{base}/partials", f"{base}/ckp"
+
+    def _build() -> None:
+        d = read_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        os.makedirs(inp, exist_ok=True)
+        for k in range(4):
+            part_dir = os.path.join(base, f"slice{k}")
+            d.filter(F.col("doc_id") % 4 == k).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part_dir)
+            src = glob.glob(os.path.join(part_dir, "part-*"))[0]
+            dst = os.path.join(inp, f"arrival-{k}.parquet")
+            os.replace(src, dst)
+            t = 1_700_000_000 + k * 60
+            os.utime(dst, (t, t))
+
+    _staged(base, _build)
+    histogram_merge_stream(spark, inp, parts, ckp)
+    histogram_merge_stream(spark, inp, parts, ckp)  # re-drain: appends nothing
+    partials = spark.read.parquet(parts)
+    return (
+        partials.groupBy("bin")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+        )
+        .orderBy("bin")
+    )
+
+
 def _stage_events(sf_dir: str) -> str:
     """The events table staged as a directory of parquet files — the file
     stream source requires a DIRECTORY; built once per sf_dir behind a
@@ -7115,6 +7183,7 @@ _WINDOW_BACK = [
     "pii_redaction",  # rotated out for r5's hard_negative_mining
     "minhash_verified_dups",  # rotated out for r5's cross_source_dup_matrix
     "media_channel_stats",  # rotated out for r5's quantile_sketch_eval
+    "media_frame_census",  # rotated out for r5's streaming_histogram_merge
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats

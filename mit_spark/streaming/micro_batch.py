@@ -121,6 +121,65 @@ def stateful_dedup_stream(
     q.awaitTermination()
 
 
+def histogram_merge_stream(
+    spark: SparkSession,
+    docs_path: str,
+    partials_path: str,
+    checkpoint_path: str,
+    *,
+    bin_width: int = 8,
+    n_bins: int = 64,
+) -> None:
+    """Mergeable-sketch maintenance as a STREAM (SURVEY.md §2.8 meets the
+    sketch family): each micro-batch reduces to its fixed-width token-length
+    histogram PARTIAL — at most ``n_bins`` (bin, cnt) rows stamped with the
+    batch id — appended exactly-once via the streaming checkpoint. Because
+    histogram counters merge by PLAIN ADDITION (the same property
+    quantile_sketch_eval exploits batch-side), the merged corpus sketch is
+    one combinable groupBy over the partial table (n_bins x n_batches rows,
+    never the corpus) and stays correct under any batch arrival order,
+    re-partitioning, or day-over-day accumulation — the canonical
+    bounded-state streaming aggregate a 100 TB ingest keeps instead of raw
+    rows. A re-drain against the same checkpoint appends nothing (no new
+    files), which the registry entry exercises."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    in_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_path)
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.select(
+                F.least(
+                    F.expr(f"size(split(trim(text), ' ')) DIV {bin_width}"),
+                    F.lit(n_bins - 1).cast("long"),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            .write.mode("append")
+            .parquet(partials_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_event_stats(
     spark: SparkSession,
     events_path: str,
