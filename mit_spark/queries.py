@@ -3667,22 +3667,47 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc_id' as a plain window over the file-membership union. A
     duplicate emit (state lost), a dropped batch, or a wrong winner all
     flip the hash."""
-    import glob
-
     from mit_spark.streaming.micro_batch import stateful_dedup_stream
 
-    base = _staging_dir(sf_dir, "stream_sdedup", "v1")
-    inp, out, ckp = f"{base}/in", f"{base}/out", f"{base}/ckp"
-
-    def _build() -> None:
-        d = read_table(spark, sf_dir, "documents").select(
-            F.col("doc_id").cast("long").alias("doc_id"), "text"
-        )
-        slices = [
+    d = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    base, inp = _stage_arrival_files(
+        spark,
+        sf_dir,
+        "stream_sdedup",
+        [
             d.filter(F.col("doc_id") < 400),
             d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 700)),
             d.filter(F.col("doc_id") >= 500),
-        ]
+        ],
+    )
+    out, ckp = f"{base}/out", f"{base}/ckp"
+    stateful_dedup_stream(spark, inp, out, ckp)
+    stateful_dedup_stream(spark, inp, out, ckp)  # re-drain: no new files, no new rows
+    return spark.read.parquet(out).select("doc_id", "content_hash").orderBy("doc_id")
+
+
+# token-length histogram geometry, shared by quantile_sketch_eval (the
+# batch sketch-eval entry) and streaming_histogram_merge (its streaming
+# twin) — ONE definition so the two entries and their oracles cannot drift
+_QSK_BINW = 8  # histogram bin width (tokens)
+_QSK_BINS = 64  # bins 0..63; values past the range clamp into the last bin
+_QSK_QS = (50, 90, 99)  # evaluated quantiles (percent)
+
+
+def _stage_arrival_files(spark: SparkSession, sf_dir: str, name: str, slices):
+    """Stage DataFrame slices as mtime-pinned single-file parquet arrivals
+    under one _STAGED marker (the file stream source orders micro-batches
+    by mtime, so arrival-k IS micro-batch k when maxFilesPerTrigger=1).
+    Shared by every streaming entry that needs a deterministic multi-batch
+    arrival sequence. Returns (base, input_dir)."""
+    import glob
+
+    base = _staging_dir(sf_dir, name, "v1")
+    inp = f"{base}/in"
+
+    def _build() -> None:
         os.makedirs(inp, exist_ok=True)
         for k, s in enumerate(slices):
             part_dir = os.path.join(base, f"slice{k}")
@@ -3690,21 +3715,20 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             src = glob.glob(os.path.join(part_dir, "part-*"))[0]
             dst = os.path.join(inp, f"arrival-{k}.parquet")
             os.replace(src, dst)
-            # pin arrival order: the file source orders batches by mtime
             t = 1_700_000_000 + k * 60
             os.utime(dst, (t, t))
 
     _staged(base, _build)
-    stateful_dedup_stream(spark, inp, out, ckp)
-    stateful_dedup_stream(spark, inp, out, ckp)  # re-drain: no new files, no new rows
-    return spark.read.parquet(out).select("doc_id", "content_hash").orderBy("doc_id")
+    return base, inp
 
 
 @register(
     "streaming_histogram_merge",
-    """
+    f"""
     WITH c AS (
-      SELECT doc_id, least(len(split(trim(text), ' ')) // 8, 63) AS bin
+      SELECT doc_id,
+             least(len(split(trim(text), ' ')) // {_QSK_BINW}, {_QSK_BINS - 1})
+               AS bin
       FROM documents
     )
     SELECT CAST(bin AS BIGINT) AS bin,
@@ -3717,49 +3741,48 @@ def streaming_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch family's STREAMING twin under the SQL gate: four arrival
     files (doc_id % 4, mtime-pinned, one micro-batch each) drain through
     histogram_merge_stream (streaming/micro_batch.py) — every micro-batch
-    appends its <= 64-row token-length histogram PARTIAL exactly-once, and
-    the merged corpus sketch is sum(cnt) per bin over the partial table.
-    `n_batches` (distinct partial rows per bin) PROVES the merge spanned
-    multiple micro-batches rather than one big one; since file k holds
-    exactly the docs with doc_id % 4 == k, the oracle re-derives it as
-    count(DISTINCT doc_id % 4) per bin. A lost batch, a double-applied
-    batch (exactly-once violated — the re-drain below would surface it),
-    or a wrong bin boundary each flip cnt or n_batches.
+    appends its <= 64-row token-length histogram PARTIAL stamped with the
+    batch id, and the merged corpus sketch is sum(cnt) per bin over the
+    partial table. foreachBatch's side-effect contract is AT-LEAST-ONCE
+    (a crash between the parquet append and the offset commit replays the
+    batch), so the merge first collapses on (bin, batch_id) — a replayed
+    batch writes IDENTICAL rows, making the pipeline idempotent by
+    construction rather than by luck; the no-op re-drain below exercises
+    the checkpoint path. `n_batches` (distinct batches contributing to a
+    bin) PROVES the merge spanned multiple micro-batches; since file k
+    holds exactly the docs with doc_id % 4 == k, the oracle re-derives it
+    as count(DISTINCT doc_id % 4) per bin. A lost batch, a double-applied
+    batch surviving the dedupe, or a wrong bin boundary each flip cnt or
+    n_batches.
 
     Scale shape: per-batch state is bounded at n_bins rows regardless of
-    batch size (the whole point of a mergeable sketch); the final merge is
-    one combinable groupBy over n_bins x n_batches rows — at a year of
-    micro-batches that is still driver-sized. Integer counters end to
-    end."""
-    import glob
-
+    batch size (the point of a mergeable sketch); the final merge is one
+    combinable groupBy over n_bins x n_batches rows — at a year of
+    micro-batches still driver-sized. Integer counters end to end. Bin
+    geometry comes from the SAME _QSK_* constants as quantile_sketch_eval,
+    so the two entries and their oracles cannot drift."""
     from mit_spark.streaming.micro_batch import histogram_merge_stream
 
-    base = _staging_dir(sf_dir, "stream_hmerge", "v1")
-    inp, parts, ckp = f"{base}/in", f"{base}/partials", f"{base}/ckp"
-
-    def _build() -> None:
-        d = read_table(spark, sf_dir, "documents").select(
-            F.col("doc_id").cast("long").alias("doc_id"), "text"
-        )
-        os.makedirs(inp, exist_ok=True)
-        for k in range(4):
-            part_dir = os.path.join(base, f"slice{k}")
-            d.filter(F.col("doc_id") % 4 == k).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(part_dir)
-            src = glob.glob(os.path.join(part_dir, "part-*"))[0]
-            dst = os.path.join(inp, f"arrival-{k}.parquet")
-            os.replace(src, dst)
-            t = 1_700_000_000 + k * 60
-            os.utime(dst, (t, t))
-
-    _staged(base, _build)
-    histogram_merge_stream(spark, inp, parts, ckp)
-    histogram_merge_stream(spark, inp, parts, ckp)  # re-drain: appends nothing
-    partials = spark.read.parquet(parts)
+    d = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    base, inp = _stage_arrival_files(
+        spark, sf_dir, "stream_hmerge", [d.filter(F.col("doc_id") % 4 == k) for k in range(4)]
+    )
+    parts, ckp = f"{base}/partials", f"{base}/ckp"
+    histogram_merge_stream(
+        spark, inp, parts, ckp, bin_width=_QSK_BINW, n_bins=_QSK_BINS
+    )
+    histogram_merge_stream(  # re-drain: no new files, appends nothing
+        spark, inp, parts, ckp, bin_width=_QSK_BINW, n_bins=_QSK_BINS
+    )
+    per_batch = (
+        spark.read.parquet(parts)
+        .groupBy("bin", "batch_id")
+        .agg(F.max("cnt").alias("cnt"))
+    )
     return (
-        partials.groupBy("bin")
+        per_batch.groupBy("bin")
         .agg(
             F.sum("cnt").cast("long").alias("cnt"),
             F.count(F.lit(1)).cast("long").alias("n_batches"),
@@ -6048,11 +6071,6 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hh_rank")
 
 
-_QSK_BINW = 8  # histogram bin width (tokens)
-_QSK_BINS = 64  # bins 0..63; values past the range clamp into the last bin
-_QSK_QS = (50, 90, 99)  # evaluated quantiles (percent)
-
-
 def _qsketch_sql() -> str:
     qs_list = ", ".join(str(q) for q in _QSK_QS)
     return f"""
@@ -6083,7 +6101,8 @@ def _qsketch_sql() -> str:
            CAST(qs.target_rank AS BIGINT) AS target_rank,
            CAST(est.est_value AS BIGINT) AS est_value,
            CAST(ex.exact_value AS BIGINT) AS exact_value,
-           CAST(est.est_value - ex.exact_value AS BIGINT) AS overestimate
+           CAST(est.est_value - ex.exact_value AS BIGINT) AS overestimate,
+           CAST(est.est_value = {_QSK_BINW * _QSK_BINS - 1} AS BIGINT) AS clamped
     FROM qs JOIN est ON qs.q = est.q JOIN ex ON qs.q = ex.q
     ORDER BY quantile_pct
     """
@@ -6104,8 +6123,13 @@ def quantile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     globally sorts the corpus: both are one combinable groupBy plus a
     window over a driver-sized table. The estimate's bin edge is >= the
     exact value that falls inside the bin, so `overestimate` is one-sided
-    (>= 0, bounded by the bin width) — same eval contract as the CMS
-    entry's collision mass.
+    (>= 0, bounded by the bin width) WHENEVER the quantile lands inside
+    the histogram range — same eval contract as the CMS entry's collision
+    mass. When the rank falls in the CLAMP bin (values past
+    binw x nbins - 1 all land there), the edge is a floor, not a bound;
+    the `clamped` flag marks exactly that case in both engines so a
+    consumer asserting overestimate >= 0 filters on clamped = 0 instead
+    of trusting a silently broken invariant on long-doc corpora.
 
     All-integer end to end: counts, ranks (ceil via (q*N+99) div 100),
     bin edges, and errors are exact BIGINTs — no float crosses the engine
@@ -6156,6 +6180,9 @@ def quantile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_value",
             "exact_value",
             (F.col("est_value") - F.col("exact_value")).cast("long").alias("overestimate"),
+            (F.col("est_value") == _QSK_BINW * _QSK_BINS - 1)
+            .cast("long")
+            .alias("clamped"),
         )
         .orderBy("quantile_pct")
     )

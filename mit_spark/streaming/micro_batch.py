@@ -133,15 +133,20 @@ def histogram_merge_stream(
     """Mergeable-sketch maintenance as a STREAM (SURVEY.md §2.8 meets the
     sketch family): each micro-batch reduces to its fixed-width token-length
     histogram PARTIAL — at most ``n_bins`` (bin, cnt) rows stamped with the
-    batch id — appended exactly-once via the streaming checkpoint. Because
-    histogram counters merge by PLAIN ADDITION (the same property
-    quantile_sketch_eval exploits batch-side), the merged corpus sketch is
-    one combinable groupBy over the partial table (n_bins x n_batches rows,
-    never the corpus) and stays correct under any batch arrival order,
-    re-partitioning, or day-over-day accumulation — the canonical
-    bounded-state streaming aggregate a 100 TB ingest keeps instead of raw
-    rows. A re-drain against the same checkpoint appends nothing (no new
-    files), which the registry entry exercises."""
+    batch id. The streaming checkpoint makes batch REPLAY rare, but
+    foreachBatch's side-effect contract is AT-LEAST-ONCE (a crash between
+    the parquet append and the offset commit replays the batch), so every
+    partial row carries ``batch_id`` and consumers MUST collapse on
+    (bin, batch_id) before summing — a replayed batch writes identical
+    rows, so the dedupe makes the pipeline idempotent (the registry entry
+    does exactly this). Because histogram counters merge by PLAIN ADDITION
+    (the same property quantile_sketch_eval exploits batch-side), the
+    merged corpus sketch is one combinable groupBy over the partial table
+    (n_bins x n_batches rows, never the corpus) and stays correct under
+    any batch arrival order, re-partitioning, or day-over-day accumulation
+    — the canonical bounded-state streaming aggregate a 100 TB ingest
+    keeps instead of raw rows. A re-drain against the same checkpoint
+    appends nothing (no new files), which the registry entry exercises."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 

@@ -128,3 +128,41 @@ def test_windowed_watermark_drops_late_data(spark, tmp_path):
         "2024-01-01 11:00:00",
     }
     assert all(got2[h] == 1 for h in new_hours)
+
+
+def test_histogram_merge_idempotent_under_batch_replay(spark, tmp_path):
+    """foreachBatch side effects are at-least-once: a replayed micro-batch
+    re-appends an IDENTICAL (bin, cnt, batch_id) partial. The merge must
+    collapse on (bin, batch_id) first, so duplicated partial files change
+    NOTHING in the merged sketch — the exact failure a crash between the
+    parquet append and the offset commit would otherwise cause."""
+    from pyspark.sql import functions as F
+
+    from mit_spark.streaming.micro_batch import histogram_merge_stream
+
+    inp = str(tmp_path / "in")
+    parts = str(tmp_path / "partials")
+    ckp = str(tmp_path / "ckp")
+    rows = [(i, "w " * (i % 40 + 1)) for i in range(100)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        inp
+    )
+    histogram_merge_stream(spark, inp, parts, ckp, bin_width=8, n_bins=64)
+
+    def merged():
+        per_batch = (
+            spark.read.parquet(parts)
+            .groupBy("bin", "batch_id")
+            .agg(F.max("cnt").alias("cnt"))
+        )
+        return {
+            r["bin"]: (r["n"], r["nb"])
+            for r in per_batch.groupBy("bin")
+            .agg(F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("nb"))
+            .collect()
+        }
+
+    before = merged()
+    # simulate the replay: re-append every partial row verbatim
+    spark.read.parquet(parts).write.mode("append").parquet(parts)
+    assert merged() == before
