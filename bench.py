@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "cross_source_dup_matrix",
     "quantile_sketch_eval",
     "streaming_histogram_merge",
+    "lsh_band_sweep",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

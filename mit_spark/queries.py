@@ -4179,6 +4179,183 @@ def _minhash_verify_sql() -> str:
     """
 
 
+# LSH band configurations over the 6 minhash lanes: (n_bands -> lane groups)
+_LSH_SWEEP = {
+    6: [[0], [1], [2], [3], [4], [5]],
+    3: [[0, 1], [2, 3], [4, 5]],
+    2: [[0, 1, 2], [3, 4, 5]],
+    1: [[0, 1, 2, 3, 4, 5]],
+}
+
+
+def _lsh_sweep_sql() -> str:
+    mh = ",\n             ".join(f"min(d[{5*j+1}:{5*j+5}]) AS mh{j}" for j in range(6))
+    band_selects = []
+    for b, groups in _LSH_SWEEP.items():
+        r = 6 // b
+        bexprs = ", ".join(" || ".join(f"mh{j}" for j in g) for g in groups)
+        band_selects.append(
+            f"SELECT {b} AS n_bands, {r} AS rows_per_band, doc_id,"
+            f" unnest([{bexprs}]) AS band FROM sigs"
+        )
+    bands = "\n      UNION ALL\n      ".join(band_selects)
+    inter = "len(list_filter(x.ds, s -> list_contains(y.ds, s)))"
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, split(trim(text), ' ') AS words FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             (split(trim(text), ' '))[1:len(split(trim(text), ' ')) - 1] AS words
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w
+      FROM corpus
+    ), sh AS (
+      SELECT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle,
+             lead(w, 2) OVER win AS w2
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), dg AS (
+      SELECT doc_id, md5(shingle) AS d FROM sh WHERE w2 IS NOT NULL
+    ), sigs AS (
+      SELECT doc_id,
+             {mh}
+      FROM dg GROUP BY doc_id
+    ), bands AS (
+      {bands}
+    ), cand AS (
+      SELECT DISTINCT a.n_bands, a.rows_per_band,
+             a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.n_bands = b.n_bands AND a.band = b.band AND a.doc_id < b.doc_id
+    ), sets AS (
+      SELECT doc_id, list_distinct(list(d)) AS ds FROM dg GROUP BY doc_id
+    ), scored AS (
+      SELECT c.n_bands, c.rows_per_band,
+             CASE WHEN 3 * {inter} >= len(x.ds) + len(y.ds)
+                  THEN 1 ELSE 0 END AS v
+      FROM cand c JOIN sets x ON c.doc_a = x.doc_id
+                  JOIN sets y ON c.doc_b = y.doc_id
+    ), agg AS (
+      SELECT n_bands, rows_per_band,
+             CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(v) AS BIGINT) AS n_verified
+      FROM scored GROUP BY n_bands, rows_per_band
+    )
+    SELECT CAST(n_bands AS BIGINT) AS n_bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           n_candidates, n_verified,
+           round(n_verified / CAST(n_candidates AS DOUBLE), 6) AS match_precision,
+           round(n_verified / CAST(max(n_verified) OVER () AS DOUBLE), 6)
+             AS recall_vs_finest
+    FROM agg ORDER BY n_bands DESC
+    """
+
+
+@register("lsh_band_sweep", _lsh_sweep_sql())
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve MEASURED on the corpus — the parameter dial a 100 TB
+    dedup run tunes before committing to a band layout (Leskovec et al.,
+    MMDS ch.3): the same 6 minhash lanes re-banded four ways (6x1, 3x2,
+    2x3, 1x6), each config's candidate pairs counted and exact-Jaccard
+    verified. More rows per band = sharper S-curve = fewer, more precise
+    candidates; because a pair matching a concatenated band necessarily
+    matches every constituent lane, the four candidate sets are NESTED
+    (1x6 <= 2x3 <= 3x2 <= 6x1), so recall_vs_finest is monotone and the
+    precision/recall trade reads directly off the four rows — measured,
+    not asserted (same dial-evidence contract as ann_multiprobe_recall).
+
+    Scale shape: ONE shingle/signature build (identical to
+    minhash_verified_dups) feeds all four configs; each config's bucket
+    grouping is a combinable groupBy on its band key with in-bucket pair
+    expansion (never a row-level self-join blowup — the collect_set +
+    slice-transform pattern the dedup pipeline already uses), and the
+    verify join touches candidates only. The 0.5-Jaccard verify is the
+    integer cross-multiply 3*|intersect| >= |x|+|y| — no float in the
+    decision; the two output doubles are int/int ratios, 6dp."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("words")
+    )
+    perturbed = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.slice("words", 1, F.size("words") - 1).alias("words"),
+    )
+    corpus = d.unionByName(perturbed)
+    tok = corpus.select("doc_id", F.posexplode("words").alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    sh = tok.select(
+        "doc_id",
+        F.concat_ws(" ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)).alias(
+            "shingle"
+        ),
+        F.lead("w", 2).over(win).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    dg = sh.select("doc_id", F.md5("shingle").alias("d"))
+    sigs = dg.groupBy("doc_id").agg(
+        *[F.min(F.substring("d", 5 * j + 1, 5)).alias(f"mh{j}") for j in range(6)]
+    )
+    frames = []
+    for b, groups in _LSH_SWEEP.items():
+        arr = F.array(*[F.concat(*[F.col(f"mh{j}") for j in g]) for g in groups])
+        frames.append(
+            sigs.select(
+                F.lit(b).alias("n_bands"),
+                F.lit(6 // b).alias("rows_per_band"),
+                "doc_id",
+                F.explode(arr).alias("band"),
+            )
+        )
+    bands = frames[0]
+    for fr in frames[1:]:
+        bands = bands.unionByName(fr)
+    buckets = (
+        bands.groupBy("n_bands", "rows_per_band", "band")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice("docs", i + 2, F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select("n_bands", "rows_per_band", F.explode(pairs).alias("p"))
+        .select("n_bands", "rows_per_band", "p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sets = dg.groupBy("doc_id").agg(F.collect_set("d").alias("ds"))
+    x, y = sets.alias("x"), sets.alias("y")
+    inter = F.size(F.array_intersect(F.col("x.ds"), F.col("y.ds")))
+    v = (3 * inter >= F.size(F.col("x.ds")) + F.size(F.col("y.ds"))).cast("int")
+    scored = (
+        cand.join(x, cand.doc_a == F.col("x.doc_id"))
+        .join(y, cand.doc_b == F.col("y.doc_id"))
+        .select("n_bands", "rows_per_band", v.alias("v"))
+    )
+    agg = scored.groupBy("n_bands", "rows_per_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum("v").cast("long").alias("n_verified"),
+    )
+    everything = Window.partitionBy()
+    return agg.select(
+        F.col("n_bands").cast("long").alias("n_bands"),
+        F.col("rows_per_band").cast("long").alias("rows_per_band"),
+        "n_candidates",
+        "n_verified",
+        F.round(F.col("n_verified") / F.col("n_candidates").cast("double"), 6).alias(
+            "match_precision"
+        ),
+        F.round(
+            F.col("n_verified") / F.max("n_verified").over(everything).cast("double"),
+            6,
+        ).alias("recall_vs_finest"),
+    ).orderBy(F.desc("n_bands"))
+
+
 @register("minhash_verified_dups", _minhash_verify_sql())
 def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LSH dedup pipeline: minhash-band CANDIDATES (recall stage,
@@ -7211,6 +7388,7 @@ _WINDOW_BACK = [
     "minhash_verified_dups",  # rotated out for r5's cross_source_dup_matrix
     "media_channel_stats",  # rotated out for r5's quantile_sketch_eval
     "media_frame_census",  # rotated out for r5's streaming_histogram_merge
+    "streaming_drain",  # rotated out for r5's lsh_band_sweep
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
