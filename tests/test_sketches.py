@@ -210,3 +210,48 @@ def test_pagerank_rank_bounds(spark):
     for r in rows:
         assert r["pr"] >= Q._PR_BASE
     assert total <= n * Q._PR_SCALE  # floor divisions are lossy, never creative
+
+
+def test_lsh_band_sweep_nested_candidates(spark):
+    """The observable consequences of the docstring's nestedness claim
+    (a pair matching an r-lane concatenated band matches every constituent
+    lane, so the candidate sets form a chain 1x6 <= 2x3 <= 3x2 <= 6x1):
+    candidate counts AND recall_vs_finest must both be monotone in
+    n_bands, and the finest config's recall must be exactly 1."""
+    import mit_spark.queries as Q
+
+    rows = {r["n_bands"]: r for r in Q.lsh_band_sweep(spark, SF).collect()}
+    assert set(rows) == {1, 2, 3, 6}
+    # counts must be monotone in n_bands (necessary condition of nesting)
+    assert (
+        rows[1]["n_candidates"]
+        <= rows[2]["n_candidates"]
+        <= rows[3]["n_candidates"]
+        <= rows[6]["n_candidates"]
+    )
+    assert rows[6]["recall_vs_finest"] == 1.0
+    assert (
+        rows[1]["recall_vs_finest"]
+        <= rows[2]["recall_vs_finest"]
+        <= rows[3]["recall_vs_finest"]
+        <= rows[6]["recall_vs_finest"]
+    )
+
+
+def test_hard_negative_mining_contract(spark):
+    """Per query: exactly k negatives, none sharing the query's kmeans
+    cluster, ranked by ascending distance with rank 1..k dense."""
+    import mit_spark.queries as Q
+
+    rows = Q.hard_negative_mining(spark, SF).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r["n_cluster"] != r["q_cluster"], "negative shares the query cluster"
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert len(by_q) == Q._RECALL_N_QUERIES
+    for q_id, rs in by_q.items():
+        ranks = sorted(x["rank"] for x in rs)
+        assert ranks == list(range(1, Q._RECALL_K + 1))
+        ordered = sorted(rs, key=lambda x: x["rank"])
+        dists = [x["d2"] for x in ordered]
+        assert dists == sorted(dists), "ranks not ascending in distance"
