@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "quantile_sketch_eval",
     "streaming_histogram_merge",
     "lsh_band_sweep",
+    "winnowing_fingerprints",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

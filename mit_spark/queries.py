@@ -4179,6 +4179,132 @@ def _minhash_verify_sql() -> str:
     """
 
 
+_WIN_K = 4  # winnowing k-gram size (tokens)
+_WIN_W = 5  # winnowing window (hash positions)
+_WIN_T = 8  # report pairs sharing >= T fingerprints (MOSS-style cutoff)
+_WIN_RADIX = 1 << 20  # position radix for the (hash, rightmost-pos) encoding
+
+
+def _winnowing_sql() -> str:
+    lead_g = " || ' ' || ".join(
+        ["w"] + [f"lead(w, {i}) OVER win" for i in range(1, _WIN_K)]
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, split(trim(text), ' ') AS words FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             (split(trim(text), ' '))[1:len(split(trim(text), ' ')) - 1] AS words
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w
+      FROM corpus
+    ), g AS (
+      SELECT doc_id, pos, {lead_g} AS gram,
+             lead(w, {_WIN_K - 1}) OVER win AS wlast
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), h AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(gram), 1, 8))::BIGINT * {_WIN_RADIX}
+               + ({_WIN_RADIX - 1} - pos) AS enc
+      FROM g WHERE wlast IS NOT NULL AND pos < {_WIN_RADIX}
+    ), sel AS (
+      SELECT doc_id,
+             min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WIN_W - 1} FOLLOWING) AS enc
+      FROM h
+    ), fp AS (
+      SELECT DISTINCT doc_id, enc // {_WIN_RADIX} AS fph FROM sel
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fph = b.fph AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {_WIN_T}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("winnowing_fingerprints", _winnowing_sql())
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing — the MOSS local fingerprinting scheme (Schleimer, Wilkerson
+    & Aiken, SIGMOD'03): hash every k-gram (k=4 tokens), then in each
+    sliding window of w=5 consecutive hashes KEEP the minimum (rightmost on
+    ties) — the selected (hash, position)s are the document's fingerprints.
+    The scheme's guarantee: any shared substring of at least w+k-1 tokens
+    contributes at least one SHARED fingerprint, while storage is ~2/(w+1)
+    of the hash stream — the density/guarantee trade that made it the
+    plagiarism-detection standard and a substring-dedup alternative to the
+    8-word chunk grid (substring_dedup_runs). Output: doc pairs sharing
+    >= 8 fingerprint hashes with the shared count.
+
+    Cross-engine determinism: the rightmost-min tie-break is encoded
+    arithmetically — enc = hash32 * 2^20 + (2^20-1 - pos) — so BOTH
+    engines express the selection as a plain integer MIN over the same
+    w-row window frame (no argmin/struct-ordering divergence); hashes are
+    md5-prefix BIGINTs, counts exact. Windows at the tail shrink below w
+    in both engines identically (the variant is documented, not hidden).
+
+    Scale shape: one per-doc keyed shuffle for the gram/selection windows
+    (the same shape every shingle build here uses), distinct-collapse to
+    the fingerprint table (~2/(w+1) of token count), then an equi-join on
+    the fingerprint hash — bucket-sized groups, no all-pairs; the >= T
+    HAVING keeps the output to genuinely-overlapping pairs. At 10^12 docs
+    the fingerprint table is the materialized artifact (the winnowing
+    analogue of the staged chunk table)."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("words")
+    )
+    perturbed = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.slice("words", 1, F.size("words") - 1).alias("words"),
+    )
+    corpus = d.unionByName(perturbed)
+    tok = corpus.select("doc_id", F.posexplode("words").alias("pos0", "w")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "w"
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", "w", *[F.lead("w", i).over(win) for i in range(1, _WIN_K)]
+    )
+    g = tok.select(
+        "doc_id",
+        "pos",
+        gram.alias("gram"),
+        F.lead("w", _WIN_K - 1).over(win).alias("wlast"),
+    ).filter(F.col("wlast").isNotNull() & (F.col("pos") < _WIN_RADIX))
+    h = g.select(
+        "doc_id",
+        "pos",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+            * _WIN_RADIX
+            + (F.lit(_WIN_RADIX - 1) - F.col("pos"))
+        ).alias("enc"),
+    )
+    selw = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    fp = (
+        h.select("doc_id", F.min("enc").over(selw).alias("enc"))
+        .select("doc_id", F.expr(f"enc DIV {_WIN_RADIX}").alias("fph"))
+        .distinct()
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fph") == F.col("b.fph"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # LSH band configurations over the 6 minhash lanes: (n_bands -> lane groups)
 _LSH_SWEEP = {
     6: [[0], [1], [2], [3], [4], [5]],
@@ -7389,6 +7515,7 @@ _WINDOW_BACK = [
     "media_channel_stats",  # rotated out for r5's quantile_sketch_eval
     "media_frame_census",  # rotated out for r5's streaming_histogram_merge
     "streaming_drain",  # rotated out for r5's lsh_band_sweep
+    "streaming_windowed_stats",  # rotated out for r5's winnowing_fingerprints
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
