@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "streaming_histogram_merge",
     "lsh_band_sweep",
     "winnowing_fingerprints",
+    "dedup_clusters_logrounds",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

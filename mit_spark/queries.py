@@ -4718,6 +4718,105 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.orderBy("doc_id")
 
 
+@register("dedup_clusters_logrounds", _dedup_clusters_sql())
+def dedup_clusters_logrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    O(log d)-round algorithm dedup_clusters' docstring names as the
+    escape hatch for pathological high-diameter pair graphs, implemented
+    and held to the IDENTICAL recursive-CTE oracle (two algorithms, one
+    truth): large-star attaches every neighbor LARGER than u to
+    min(Γ(u) ∪ {u}); small-star re-attaches the smaller neighbors (and u)
+    of each canonical-edge head to the same minimum; alternating the two
+    contracts every component to a star centered at its minimum id in
+    O(log d) rounds, vs min-label propagation's O(d). Per round each
+    operation is ONE keyed shuffle over the (shrinking) edge list — the
+    same cost class as a propagation round, so the win is purely in ROUND
+    COUNT; the convergence check is a short-circuited driver scalar (the
+    iterative-algorithm discipline shared by dedup_clusters/kmeans).
+    Reads the same staged verified-pair parquet; labels = each node's
+    star center (min reachable doc_id)."""
+    pairs, _ = _staged_pairs(spark, sf_dir)
+    E = (
+        pairs.select(F.col("doc_a").cast("long").alias("u"), F.col("doc_b").cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        pairs.select(F.col("doc_a").alias("n"))
+        .unionByName(pairs.select(F.col("doc_b").alias("n")))
+        .distinct()
+        .cache()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        w = Window.partitionBy("u")
+        m = F.least(F.col("u"), F.min("v").over(w))
+        return (
+            sym.withColumn("m", m)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        canon = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        w = Window.partitionBy("u")
+        m = F.min("v").over(w)  # all v < u, so min(N(u) ∪ {u}) = min(v)
+        withm = canon.withColumn("m", m)
+        out = withm.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+            withm.select("u", F.col("m").alias("v"))
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    def canon_set(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+
+    converged = False
+    prev_cached = E
+    for _ in range(15):
+        new_e = small_star(large_star(prev_cached)).cache()
+        cn, cp = canon_set(new_e), canon_set(prev_cached)
+        changed = (
+            cn.subtract(cp).limit(1).count() + cp.subtract(cn).limit(1).count()
+        )
+        if prev_cached is not E:
+            prev_cached.unpersist()
+        prev_cached = new_e
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            "dedup_clusters_logrounds: star contraction did not converge in "
+            "15 rounds (log2 of any realistic component diameter is far "
+            "smaller — investigate the pair graph)"
+        )
+    sym = prev_cached.unionByName(
+        prev_cached.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    out = (
+        nodes.join(mins, nodes.n == mins.u, "left")
+        .select(
+            F.col("n").alias("doc_id"),
+            F.least("n", F.coalesce("mn", "n")).alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prev_cached.unpersist()
+    E.unpersist()
+    nodes.unpersist()
+    return out.orderBy("doc_id")
+
+
 def _split_leakage_sql() -> str:
     def split_case(col: str) -> str:
         return (
@@ -7516,6 +7615,7 @@ _WINDOW_BACK = [
     "media_frame_census",  # rotated out for r5's streaming_histogram_merge
     "streaming_drain",  # rotated out for r5's lsh_band_sweep
     "streaming_windowed_stats",  # rotated out for r5's winnowing_fingerprints
+    "dedup_clusters",  # rotated out for r5's dedup_clusters_logrounds (same oracle)
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
