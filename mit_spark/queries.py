@@ -4781,15 +4781,19 @@ def dedup_clusters_logrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     converged = False
     prev_cached = E
+    prev_cnt = None
     for _ in range(15):
         new_e = small_star(large_star(prev_cached)).cache()
-        cn, cp = canon_set(new_e), canon_set(prev_cached)
-        changed = (
-            cn.subtract(cp).limit(1).count() + cp.subtract(cn).limit(1).count()
-        )
+        # cheap gate first: edge COUNTS differ while components contract, so
+        # the set-equality subtract (equal-size sets + one empty difference
+        # => equal) only runs on the candidate-fixpoint round
+        cnt = canon_set(new_e).count()
+        changed = 1
+        if cnt == (prev_cnt if prev_cnt is not None else canon_set(prev_cached).count()):
+            changed = canon_set(new_e).subtract(canon_set(prev_cached)).limit(1).count()
         if prev_cached is not E:
             prev_cached.unpersist()
-        prev_cached = new_e
+        prev_cached, prev_cnt = new_e, cnt
         if changed == 0:
             converged = True
             break
