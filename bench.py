@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "lsh_band_sweep",
     "winnowing_fingerprints",
     "dedup_clusters_logrounds",
+    "collocation_topk",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

@@ -2132,6 +2132,110 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("rolling_fp")).orderBy("doc_id")
 
 
+_COLL_MIN_COUNT = 5
+_COLL_TOPK = 20
+
+
+@register(
+    "collocation_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w
+      FROM (SELECT doc_id, split(trim(text), ' ') AS words FROM documents)
+    ), uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ), n_uni AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    bi AS (
+      SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok
+    ), bic AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+      FROM bi WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ), n_bi AS (SELECT CAST(sum(c_pair) AS BIGINT) AS n FROM bic),
+    scored AS (
+      SELECT b.w1, b.w2, b.c_pair, u1.c AS c_w1, u2.c AS c_w2,
+             (CAST(b.c_pair AS DOUBLE) * CAST(n_uni.n AS DOUBLE)
+              * CAST(n_uni.n AS DOUBLE))
+             / (CAST(n_bi.n AS DOUBLE) * CAST(u1.c AS DOUBLE)
+                * CAST(u2.c AS DOUBLE)) AS lift
+      FROM bic b JOIN uni u1 ON b.w1 = u1.w
+                 JOIN uni u2 ON b.w2 = u2.w, n_uni, n_bi
+      WHERE b.c_pair >= {_COLL_MIN_COUNT}
+    )
+    SELECT w1, w2, c_pair, c_w1, c_w2, round(lift, 6) AS lift,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_COLL_TOPK} ORDER BY rank
+    """,
+)
+def collocation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical collocation extraction — the corpus's top word pairs by
+    PMI-style LIFT, P(w1,w2)/(P(w1)P(w2)), the standard phrase/multi-word-
+    expression detector (Church & Hanks 1990) used to build tokenizer merge
+    hints and phrase tables. The lift is the RATIONAL form
+    c_pair * N_uni^2 / (N_bi * c_w1 * c_w2) — no log(): ranking is
+    order-equivalent to PMI, and each engine evaluates the identical
+    left-associated double product of exact integer counts, so the 6dp
+    values and the (lift, w1, w2) ordering are bit-deterministic
+    cross-engine (the tfidf_topk_terms discipline). c_pair >= 5 kills
+    the hapax noise that dominates raw PMI.
+
+    Scale shape: unigram and bigram counts are each ONE map-side-
+    combinable groupBy; the marginals attach by two vocabulary-keyed
+    equi-joins (AQE-broadcast here; shuffle joins with skew handling at
+    web scale — 'the' is in every bigram); the two corpus totals ride as
+    1-row broadcast frames, and the top-k window sees only pairs past the
+    count floor, never the corpus."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("words")
+    )
+    tok = d.select("doc_id", F.posexplode("words").alias("pos", "w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_uni = uni.agg(F.sum("c").cast("long").alias("n_uni"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bi = tok.select(F.col("w").alias("w1"), F.lead("w").over(win).alias("w2"))
+    bic = (
+        bi.filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_pair"))
+    )
+    n_bi = bic.agg(F.sum("c_pair").cast("long").alias("n_bi"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_w2"))
+    scored = (
+        bic.filter(F.col("c_pair") >= _COLL_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .withColumn(
+            "lift",
+            (
+                F.col("c_pair").cast("double")
+                * F.col("n_uni").cast("double")
+                * F.col("n_uni").cast("double")
+            )
+            / (
+                F.col("n_bi").cast("double")
+                * F.col("c_w1").cast("double")
+                * F.col("c_w2").cast("double")
+            ),
+        )
+    )
+    rnk = F.row_number().over(Window.orderBy(F.desc("lift"), "w1", "w2"))
+    return (
+        scored.withColumn("rank", rnk.cast("long"))
+        .filter(F.col("rank") <= _COLL_TOPK)
+        .select(
+            "w1", "w2", "c_pair", "c_w1", "c_w2",
+            F.round("lift", 6).alias("lift"), "rank",
+        )
+        .orderBy("rank")
+    )
+
+
 def _lang_id_sql() -> str:
     return """
     WITH seed_tok AS (
@@ -7620,6 +7724,7 @@ _WINDOW_BACK = [
     "streaming_drain",  # rotated out for r5's lsh_band_sweep
     "streaming_windowed_stats",  # rotated out for r5's winnowing_fingerprints
     "dedup_clusters",  # rotated out for r5's dedup_clusters_logrounds (same oracle)
+    "media_channel_stats_png",  # rotated out for r5's collocation_topk
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
