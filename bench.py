@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "winnowing_fingerprints",
     "dedup_clusters_logrounds",
     "collocation_topk",
+    "phrase_search_topk",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

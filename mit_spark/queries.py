@@ -4186,6 +4186,117 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHRASE_QUERIES = [
+    (0, ("table", "table")),  # duplicate-term phrase: exercises slot-distinctness
+    (1, ("value", "table", "part")),  # trigram
+    (2, ("fast", "spark")),
+    (3, ("window", "join")),
+]
+_PHRASE_TOPK = 5
+
+
+def _phrase_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, {slot}, '{t}')"
+        for qid, phrase in _PHRASE_QUERIES
+        for slot, t in enumerate(phrase)
+    )
+    return f"""
+    WITH phr(query_id, slot, term) AS (VALUES {vals}),
+         tokpos AS (
+           SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) - 1 AS pos
+           FROM (SELECT doc_id, split(trim(text), ' ') AS w FROM documents)
+         ),
+         pos AS (
+           SELECT * FROM tokpos WHERE term IN (SELECT DISTINCT term FROM phr)
+         ),
+         qsize AS (SELECT query_id, count(*) AS k FROM phr GROUP BY query_id),
+         occ AS (
+           SELECT c.query_id, c.doc_id, c.anchor
+           FROM (SELECT p.query_id, s.doc_id, s.pos - p.slot AS anchor, p.slot
+                 FROM pos s JOIN phr p ON s.term = p.term) c
+           JOIN qsize q ON c.query_id = q.query_id
+           GROUP BY c.query_id, c.doc_id, c.anchor, q.k
+           HAVING count(DISTINCT c.slot) = q.k
+         ),
+         hits AS (
+           SELECT query_id, doc_id, count(*) AS occurrences
+           FROM occ GROUP BY query_id, doc_id
+         ),
+         ranked AS (
+           SELECT query_id, doc_id, occurrences,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY occurrences DESC, doc_id) AS rn
+           FROM hits
+         )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           CAST(occurrences AS BIGINT) AS occurrences, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_PHRASE_TOPK}
+    ORDER BY query_id, rn
+    """
+
+
+@register("phrase_search_topk", _phrase_sql())
+def phrase_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search — exact adjacent-term phrase retrieval over
+    a positional inverted index, the retrieval shape keyword_search_topk's
+    bag-of-words postings cannot answer ("fast spark" as CONSECUTIVE
+    tokens, not co-occurrence). One formulation covers any phrase length
+    with a SINGLE join: each posting (doc, pos, term) that matches phrase
+    slot s votes for anchor = pos - s, and an anchor with all k DISTINCT
+    slots present is an occurrence (a duplicate-term phrase like
+    "table table" works because slot-distinctness, not term-distinctness,
+    is counted). Scale shape: positions come from one posexplode pruned to
+    the union of phrase terms before any shuffle; the phrase table and
+    per-query sizes broadcast; the only shuffled rows are matched postings
+    keyed by (query, doc, anchor) — corpus cost is f(matching postings),
+    never f(corpus), and no per-doc array scan or HOF runs anywhere
+    (HOF lambdas are interpreted, measured ~7 s/2M evals in this corpus).
+    All-integer output (counts + ranks, doc_id tie-break), bit-exact."""
+    rows = [
+        (qid, slot, t)
+        for qid, phrase in _PHRASE_QUERIES
+        for slot, t in enumerate(phrase)
+    ]
+    phr = spark.createDataFrame(rows, "query_id long, slot int, term string")
+    allowed = sorted({t for _, _, t in rows})
+    pos = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), " ")).alias("pos", "term"),
+        )
+        .filter(F.col("term").isin(allowed))
+    )
+    qsize = phr.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    cand = pos.join(F.broadcast(phr), "term").select(
+        "query_id", "doc_id", (F.col("pos") - F.col("slot")).alias("anchor"), "slot"
+    )
+    occ = (
+        cand.groupBy("query_id", "doc_id", "anchor")
+        .agg(F.count_distinct("slot").alias("nslots"))
+        .join(F.broadcast(qsize), "query_id")
+        .filter(F.col("nslots") == F.col("k"))
+    )
+    hits = occ.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("occurrences")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("occurrences"), "doc_id")
+    )
+    return (
+        hits.withColumn("rn", rn)
+        .filter(F.col("rn") <= _PHRASE_TOPK)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "doc_id",
+            F.col("occurrences").cast("long").alias("occurrences"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+        .orderBy("query_id", "rn")
+    )
+
+
 @register(
     "streaming_session_windows",
     """
@@ -7725,6 +7836,7 @@ _WINDOW_BACK = [
     "streaming_windowed_stats",  # rotated out for r5's winnowing_fingerprints
     "dedup_clusters",  # rotated out for r5's dedup_clusters_logrounds (same oracle)
     "media_channel_stats_png",  # rotated out for r5's collocation_topk
+    "streaming_stateful_dedup",  # rotated out for r5's phrase_search_topk
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats
