@@ -4217,7 +4217,7 @@ def _phrase_sql() -> str:
                  FROM pos s JOIN phr p ON s.term = p.term) c
            JOIN qsize q ON c.query_id = q.query_id
            GROUP BY c.query_id, c.doc_id, c.anchor, q.k
-           HAVING count(DISTINCT c.slot) = q.k
+           HAVING count(*) = q.k
          ),
          hits AS (
            SELECT query_id, doc_id, count(*) AS occurrences
@@ -4245,8 +4245,12 @@ def phrase_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a SINGLE join: each posting (doc, pos, term) that matches phrase
     slot s votes for anchor = pos - s, and an anchor with all k DISTINCT
     slots present is an occurrence (a duplicate-term phrase like
-    "table table" works because slot-distinctness, not term-distinctness,
-    is counted). Scale shape: positions come from one posexplode pruned to
+    "table table" works because slots, not terms, are counted — and the
+    count is a PLAIN count(*), not count(DISTINCT slot): slot s at anchor
+    a can only come from the single posting at position a+s, so
+    (query, doc, anchor, slot) rows are unique by construction and the
+    distinct's extra 4-key exchange is dead weight). Scale shape:
+    positions come from one posexplode pruned to
     the union of phrase terms before any shuffle; the phrase table and
     per-query sizes broadcast; the only shuffled rows are matched postings
     keyed by (query, doc, anchor) — corpus cost is f(matching postings),
@@ -4274,7 +4278,7 @@ def phrase_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     occ = (
         cand.groupBy("query_id", "doc_id", "anchor")
-        .agg(F.count_distinct("slot").alias("nslots"))
+        .agg(F.count(F.lit(1)).alias("nslots"))
         .join(F.broadcast(qsize), "query_id")
         .filter(F.col("nslots") == F.col("k"))
     )
