@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "dedup_clusters_logrounds",
     "collocation_topk",
     "phrase_search_topk",
+    "funnel_conversion",
+    "cardinality_hll_sketch",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

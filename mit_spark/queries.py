@@ -496,6 +496,97 @@ def _interval_overlap_sql() -> str:
     """
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_sql() -> str:
+    t1, t2, t3 = _FUNNEL_STEPS
+    ep = "CAST(floor(epoch({0})) AS BIGINT)"  # match Spark unix_timestamp
+    return f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = '{t1}' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = '{t2}' GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = '{t3}' GROUP BY e.user_id
+    ), j AS (
+      SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+              LEFT JOIN s3 ON s1.user_id = s3.user_id
+    )
+    SELECT CAST(count(t1) AS BIGINT) AS users_{t1},
+           CAST(count(t2) AS BIGINT) AS users_{t2},
+           CAST(count(t3) AS BIGINT) AS users_{t3},
+           CAST(coalesce(sum(CASE WHEN t2 IS NOT NULL
+                 THEN {ep.format('t2')} - {ep.format('t1')} END), 0) AS BIGINT)
+             AS {t2}_delay_total_sec,
+           CAST(coalesce(sum(CASE WHEN t3 IS NOT NULL
+                 THEN {ep.format('t3')} - {ep.format('t2')} END), 0) AS BIGINT)
+             AS {t3}_delay_total_sec
+    FROM j
+    """
+
+
+@register("funnel_conversion", _funnel_sql())
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-step funnel conversion (view -> click -> purchase) with
+    first-touch, strictly-increasing-timestamp semantics — the
+    sequential-behavior aggregate the session/asof entries don't cover:
+    step k counts users whose EARLIEST step-k event falls strictly after
+    their committed step-(k-1) time, so a click before the first view
+    never converts and each user contributes once per step. Emits the
+    per-step user counts plus total step-to-step delay seconds (exact
+    BIGINT epoch arithmetic; DuckDB's fractional epoch() floored to match
+    Spark's unix_timestamp). Scale shape: every stage — the three
+    first-event aggregations and the two step joins — is keyed on
+    user_id, so one hash partitioning serves the whole plan (AQE reuses
+    the exchanges); each step join probes only the PREVIOUS step's
+    survivors (monotonically shrinking build sides), and the final
+    single-row reduce is map-side combinable. No windows, no event-level
+    self-join — cost is f(events) once plus f(converting users)."""
+    t1, t2, t3 = _FUNNEL_STEPS
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == t1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == t2)
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == t3)
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    j = s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    delay = lambda a, b: F.when(  # noqa: E731
+        F.col(b).isNotNull(), F.unix_timestamp(b) - F.unix_timestamp(a)
+    )
+    return j.agg(
+        F.count("t1").cast("long").alias(f"users_{t1}"),
+        F.count("t2").cast("long").alias(f"users_{t2}"),
+        F.count("t3").cast("long").alias(f"users_{t3}"),
+        F.coalesce(F.sum(delay("t1", "t2")), F.lit(0))
+        .cast("long")
+        .alias(f"{t2}_delay_total_sec"),
+        F.coalesce(F.sum(delay("t2", "t3")), F.lit(0))
+        .cast("long")
+        .alias(f"{t3}_delay_total_sec"),
+    )
+
+
 @register("interval_overlap_join", _interval_overlap_sql())
 def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/interval-overlap JOIN via bin expansion — the operator Spark
@@ -6462,6 +6553,21 @@ _KMV_W = 48  # hash width in bits (12 md5 hex chars — fits BIGINT with headroo
 _KMV_NUM = (_KMV_K - 1) << _KMV_W  # (K-1) * 2^W, the estimator numerator
 
 
+def _source_shingles(d: DataFrame) -> DataFrame:
+    """Per-source 3-gram word shingles (with the trailing-window null
+    column w2 for boundary filtering) shared by the cardinality-sketch
+    entries; `d` carries (source, doc_id, words)."""
+    tok = d.select("source", "doc_id", F.posexplode("words").alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    return tok.select(
+        "source",
+        F.concat_ws(" ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)).alias(
+            "shingle"
+        ),
+        F.lead("w", 2).over(win).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+
+
 def _kmv_sql() -> str:
     return f"""
     WITH tok AS (
@@ -6519,15 +6625,7 @@ def cardinality_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select(
         "source", "doc_id", F.split(F.trim("text"), " ").alias("words")
     )
-    tok = d.select("source", "doc_id", F.posexplode("words").alias("pos", "w"))
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    sh = tok.select(
-        "source",
-        F.concat_ws(" ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)).alias(
-            "shingle"
-        ),
-        F.lead("w", 2).over(win).alias("w2"),
-    ).filter(F.col("w2").isNotNull())
+    sh = _source_shingles(d)
     ds = sh.select("source", "shingle").distinct()
     nh = ds.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
     dh = ds.select(
@@ -6555,6 +6653,132 @@ def cardinality_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_HLL_M = 64  # registers (p = 6 bucket bits)
+_HLL_VBITS = 42  # hash bits left after the bucket split (48 - 6)
+_HLL_CAP = 20  # register cap for the exact power-of-two scaled sum
+_HLL_RHO_MAX = _HLL_VBITS + 1  # rho when the 42 value bits are all zero
+# alpha_64 = 0.709 as the exact rational 709/1000; estimator numerator
+# alpha * m^2 * 2^CAP * 1000 = 709 * 4096 * 2^20 = 709 * 2^32
+_HLL_NUM = 709 * (1 << 32)
+
+
+def _hll_sql() -> str:
+    lut = ", ".join(f"({1 << t}, {t + 1})" for t in range(_HLL_VBITS))
+    return f"""
+    WITH tok AS (
+      SELECT source, doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS w
+      FROM (SELECT source, doc_id, split(trim(text), ' ') AS words FROM documents)
+    ), sh AS (
+      SELECT source,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle,
+             lead(w, 2) OVER win AS w2
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), hv AS (
+      SELECT source, ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h
+      FROM sh WHERE w2 IS NOT NULL
+    ), lb AS (
+      SELECT source, (h % {_HLL_M}) AS bucket,
+             ((h // {_HLL_M}) & -(h // {_HLL_M})) AS lowbit
+      FROM hv
+    ), lut(lowbit, rho) AS (VALUES {lut}),
+    regs AS (
+      SELECT source, bucket, max(coalesce(l.rho, {_HLL_RHO_MAX})) AS r
+      FROM lb LEFT JOIN lut l ON lb.lowbit = l.lowbit
+      GROUP BY source, bucket
+    ), agg AS (
+      SELECT source, count(*) AS nb,
+             sum(CAST(1 AS BIGINT) << ({_HLL_CAP} - least(r, {_HLL_CAP}))) AS sp
+      FROM regs GROUP BY source
+    ), ds AS (
+      SELECT DISTINCT source, shingle FROM sh WHERE w2 IS NOT NULL
+    ), nh AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct FROM ds GROUP BY source
+    ), est AS (
+      SELECT a.source, n.exact_distinct,
+             CAST({_HLL_NUM} // (1000 * (a.sp + ({_HLL_M} - a.nb) * {1 << _HLL_CAP}))
+                  AS BIGINT) AS hll_est,
+             CAST({_HLL_M} - a.nb AS BIGINT) AS empty_buckets
+      FROM agg a JOIN nh n ON a.source = n.source
+    )
+    SELECT source, exact_distinct, hll_est,
+           CAST(abs(hll_est - exact_distinct) AS BIGINT) AS abs_err, empty_buckets
+    FROM est ORDER BY source
+    """
+
+
+@register("cardinality_hll_sketch", _hll_sql())
+def cardinality_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) in exact
+    integer arithmetic — completes the cardinality family next to
+    cardinality_kmv_sketch on the SAME per-source 3-gram shingle stream
+    and the same eval-harness shape (estimate next to exact truth). The
+    float-free construction: the 48-bit md5 hash splits into 6 bucket
+    bits + 42 value bits; rho (first-1-bit position) is recovered WITHOUT
+    logs as (v & -v) joined against a broadcast 42-row power-of-two
+    lookup; the register harmonic sum 2^-R is scaled by 2^20 (registers
+    capped at 20, far above the ~log2(n/m) operating point) so it is an
+    exact BIGINT sum, and alpha_64 = 0.709 enters as the rational
+    709/1000 in a single integer floor division — the raw estimator,
+    bit-exact across engines. empty_buckets is emitted so the
+    small-range (linear-counting) regime is visible rather than silently
+    corrected with a log(). Unlike KMV, the register build needs NO
+    distinct pass: max(rho) is idempotent under duplicate hashes, so the
+    heavy stage is ONE combinable (source, bucket) groupBy over the raw
+    shingle stream — at 100 TB this is a map-side-combined 64-registers-
+    per-source sketch, the textbook mergeable-sketch shuffle shape; the
+    exact-distinct branch exists only because measuring the estimator is
+    the point. Registers stay exact under ANSI mode (max sum 64 * 2^20).
+    """
+    d = read_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.split(F.trim("text"), " ").alias("words")
+    )
+    sh = _source_shingles(d)
+    hv = sh.select(
+        "source",
+        F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("long").alias("h"),
+    )
+    lut = spark.createDataFrame(
+        [(1 << t, t + 1) for t in range(_HLL_VBITS)], "lowbit long, rho int"
+    )
+    lb = hv.select(
+        "source",
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.expr(f"(h div {_HLL_M}) & -(h div {_HLL_M})").alias("lowbit"),
+    )
+    regs = (
+        lb.join(F.broadcast(lut), "lowbit", "left")
+        .groupBy("source", "bucket")
+        .agg(F.max(F.coalesce("rho", F.lit(_HLL_RHO_MAX))).alias("r"))
+    )
+    agg = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_CAP} - least(r, {_HLL_CAP}))")
+        ).alias("sp"),
+    )
+    nh = (
+        sh.select("source", "shingle")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    )
+    est = agg.join(nh, "source").select(
+        "source",
+        "exact_distinct",
+        F.expr(
+            f"CAST({_HLL_NUM} div (1000 * (sp + ({_HLL_M} - nb) * {1 << _HLL_CAP})) AS BIGINT)"
+        ).alias("hll_est"),
+        (F.lit(_HLL_M) - F.col("nb")).cast("long").alias("empty_buckets"),
+    )
+    return est.select(
+        "source",
+        "exact_distinct",
+        "hll_est",
+        F.abs(F.col("hll_est") - F.col("exact_distinct")).cast("long").alias("abs_err"),
+        "empty_buckets",
+    ).orderBy("source")
 
 
 _CMS_D = 4  # depth: independent hash rows
@@ -7841,6 +8065,8 @@ _WINDOW_BACK = [
     "dedup_clusters",  # rotated out for r5's dedup_clusters_logrounds (same oracle)
     "media_channel_stats_png",  # rotated out for r5's collocation_topk
     "streaming_stateful_dedup",  # rotated out for r5's phrase_search_topk
+    "flagship_span_counts",  # rotated out for r5's funnel_conversion
+    "flagship_text_digest",  # rotated out for r5's cardinality_hll_sketch
     # green r1–r4 (4 recorded rows each):
     "user_sessions",  # rotated out for r5's audio_waveform_stats
     "doc_quality_by_lang",  # rotated out for r5's video_frame_stats

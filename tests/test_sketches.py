@@ -255,3 +255,53 @@ def test_hard_negative_mining_contract(spark):
         ordered = sorted(rs, key=lambda x: x["rank"])
         dists = [x["d2"] for x in ordered]
         assert dists == sorted(dists), "ranks not ascending in distance"
+
+
+# ---------------------------------------------------------------------------
+# cardinality_hll_sketch
+
+
+def test_hll_matches_pure_python_sketch(spark):
+    import mit_spark.queries as Q
+
+    got = {
+        r["source"]: (
+            r["exact_distinct"],
+            r["hll_est"],
+            r["abs_err"],
+            r["empty_buckets"],
+        )
+        for r in Q.cardinality_hll_sketch(spark, SF).collect()
+    }
+    stream = collections.defaultdict(list)  # raw stream, duplicates included
+    for source, text in _texts():
+        ws = text.strip().split(" ")
+        for i in range(len(ws) - 2):
+            stream[source].append(" ".join(ws[i : i + 3]))
+    assert set(got) == set(stream)
+    for source, ss in stream.items():
+        regs = [0] * Q._HLL_M
+        for s in ss:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+            b, v = h % Q._HLL_M, h // Q._HLL_M
+            rho = Q._HLL_RHO_MAX if v == 0 else (v & -v).bit_length()
+            regs[b] = max(regs[b], rho)
+        scaled = sum(1 << (Q._HLL_CAP - min(r, Q._HLL_CAP)) for r in regs)
+        est = Q._HLL_NUM // (1000 * scaled)
+        exact = len(set(ss))
+        empty = sum(1 for r in regs if r == 0)
+        assert got[source] == (exact, est, abs(est - exact), empty)
+
+
+def test_hll_error_bound_when_registers_full(spark):
+    """Raw-HLL sanity at the operating point: with no empty registers the
+    m=64 estimator's standard error is ~13%, so 50% relative error is a
+    loose 3-sigma-plus gate (failure means a broken register build, not
+    sketch noise)."""
+    import mit_spark.queries as Q
+
+    rows = Q.cardinality_hll_sketch(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        if r["empty_buckets"] == 0 and r["exact_distinct"] > 1000:
+            assert r["abs_err"] < 0.5 * r["exact_distinct"]
