@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "phrase_search_topk",
     "funnel_conversion",
     "cardinality_hll_sketch",
+    "fuzzy_match_join",
+    "cohort_retention",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))
