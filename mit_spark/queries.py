@@ -934,21 +934,28 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bit-exact cross-engine); the keep flag compares the UNROUNDED
     doubles against the double thresholds.
 
-    Plan shape: the corpus is read ONCE; an explode of sequence(2,10)
-    spreads each doc to 9 (doc, n) rows (cheap — the split array is
-    shared), then ONE single-level transform per row builds that n's gram
-    array. The explode-first form replaces a nested
-    transform-over-sequence building all nine families into one flattened
-    struct array: nesting compiled ~4 s slower cold (Janino on the giant
-    expression) for identical steady-state wall. Steady-state cost is
-    dominated by interpreted higher-order-function evaluation of the
-    ~450 grams/doc (HOFs never enter whole-stage codegen); A/B-measured
-    alternatives under the bench's noop-write protocol — xxhash64 gram
-    keys instead of strings, and a fully shuffle-free per-row
-    sort+run-length aggregate — were all within ±10%, so the simplest
-    form is kept. (Measurement lesson: .count() A/Bs are useless here —
-    Catalyst prunes the aggregate VALUES under a count, leaving only the
-    group-key explode.) Downstream: one combinable count shuffle keyed on
+    Plan shape: the corpus is read ONCE; tokens posexplode to
+    (doc_id, pos, word) rows, a doc_id-keyed window adds lead(word, 1..9),
+    and one stack() unpivots the nine per-position grams (concat_ws over
+    word + its leads, null past the doc end) — NO higher-order functions
+    anywhere in the plan. This replaced the r5-interim explode +
+    single-level `transform` form after an A/B under the bench's
+    noop-write protocol measured the HOF interpreter as the entire
+    bottleneck: HOFs never enter whole-stage codegen, and the ~2.2M
+    interpreted lambda evaluations cost 7.6 s where the window+stack form
+    costs 1.9 s (3.4×) for row-identical output. Earlier HOF-internal
+    variants (xxhash64 gram keys, a shuffle-free per-row sort+run-length
+    aggregate, a nested transform-over-sequence that also paid ~4 s of
+    Janino compile) were all within ±10% of each other — the win required
+    leaving the HOF lane entirely, at the price of ONE extra exchange of
+    bare token rows keyed on doc_id (window state is bounded by the
+    longest document; skew is per-doc, not corpus-global). A slice-based
+    no-shuffle alternative (tokens carry the full word array, gram =
+    slice(ws, pos+1, n)) measured 4.3 s — Generate's per-token copy of
+    the array costs more than the token shuffle. (Measurement lesson:
+    .count() A/Bs are useless here — Catalyst prunes the aggregate VALUES
+    under a count, leaving only the group-key explode; A/B with noop
+    writes.) Downstream: one combinable count shuffle keyed on
     (doc_id, n, gram), one combinable rollup to (doc_id, n), a 9-rows-per-
     doc pivot, and a final left join back to the doc spine for sub-2-word
     documents. Gram keys include doc_id, so skew is bounded by a single
@@ -958,18 +965,25 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.trim("text"), " ").alias("ws"),
         F.length(F.trim("text")).cast("long").alias("total"),
     )
-    dn = d.select(
-        "doc_id", "ws", F.explode(F.sequence(F.lit(2), F.lit(10))).alias("n")
+    toks = d.select("doc_id", F.posexplode("ws").alias("i", "w"))
+    wn = Window.partitionBy("doc_id").orderBy("i")
+    t2 = toks.select(
+        "doc_id", "w", *[F.lead("w", k).over(wn).alias(f"l{k}") for k in range(1, 10)]
     )
-    grams = dn.select(
-        "doc_id",
-        "n",
-        F.explode(
-            F.expr(
-                "transform(slice(ws, 1, greatest(size(ws) - n + 1, 0)),"
-                " (w, i) -> concat_ws(' ', slice(ws, i + 1, n)))"
-            )
-        ).alias("gram"),
+    gram_for = {
+        n: F.when(
+            F.col(f"l{n - 1}").isNotNull(),
+            F.concat_ws(" ", F.col("w"), *[F.col(f"l{k}") for k in range(1, n)]),
+        )
+        for n in range(2, 11)
+    }
+    grams = (
+        t2.select("doc_id", *[g.alias(f"g{n}") for n, g in gram_for.items()])
+        .selectExpr(
+            "doc_id",
+            "stack(9, " + ", ".join(f"{n}, g{n}" for n in gram_for) + ") AS (n, gram)",
+        )
+        .where(F.col("gram").isNotNull())
     )
     gc = grams.groupBy("doc_id", "n", "gram").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
