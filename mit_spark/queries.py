@@ -4700,7 +4700,9 @@ def _lsh_sweep_sql() -> str:
       FROM bands a JOIN bands b
         ON a.n_bands = b.n_bands AND a.band = b.band AND a.doc_id < b.doc_id
     ), sets AS (
-      SELECT doc_id, list_distinct(list(d)) AS ds FROM dg GROUP BY doc_id
+      SELECT doc_id,
+             list_distinct(list(('0x' || substr(d, 1, 15))::BIGINT)) AS ds
+      FROM dg GROUP BY doc_id
     ), scored AS (
       SELECT c.n_bands, c.rows_per_band,
              CASE WHEN 3 * {inter} >= len(x.ds) + len(y.ds)
@@ -4737,13 +4739,19 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     not asserted (same dial-evidence contract as ann_multiprobe_recall).
 
     Scale shape: ONE shingle/signature build (identical to
-    minhash_verified_dups) feeds all four configs; each config's bucket
-    grouping is a combinable groupBy on its band key with in-bucket pair
-    expansion (never a row-level self-join blowup — the collect_set +
-    slice-transform pattern the dedup pipeline already uses), and the
-    verify join touches candidates only. The 0.5-Jaccard verify is the
-    integer cross-multiply 3*|intersect| >= |x|+|y| — no float in the
-    decision; the two output doubles are int/int ratios, 6dp."""
+    minhash_verified_dups) feeds all four configs in a SINGLE pass — the
+    10 (config, band) keys explode from one 10-struct array projection
+    over sigs, not a 4-way union that re-aggregates the signature table
+    per config. Each config's bucket grouping is a combinable groupBy on
+    its band key with in-bucket pair expansion via posexplode + slice +
+    explode (never a row-level self-join blowup, and no higher-order
+    lambdas — HOFs are interpreted, never codegen'd), and the verify join
+    touches candidates only, with shingle sets travelling as 60-bit
+    md5-prefix BIGINTs rather than 32-char hex strings (~4x less join
+    payload; both engines truncate identically so the decision stays
+    engine-deterministic). The 0.5-Jaccard verify is the integer
+    cross-multiply 3*|intersect| >= |x|+|y| — no float in the decision;
+    the two output doubles are int/int ratios, 6dp."""
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.trim("text"), " ").alias("words")
     )
@@ -4765,40 +4773,45 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dg.groupBy("doc_id").agg(
         *[F.min(F.substring("d", 5 * j + 1, 5)).alias(f"mh{j}") for j in range(6)]
     )
-    frames = []
+    entries = []
     for b, groups in _LSH_SWEEP.items():
-        arr = F.array(*[F.concat(*[F.col(f"mh{j}") for j in g]) for g in groups])
-        frames.append(
-            sigs.select(
-                F.lit(b).alias("n_bands"),
-                F.lit(6 // b).alias("rows_per_band"),
-                "doc_id",
-                F.explode(arr).alias("band"),
+        for g in groups:
+            entries.append(
+                F.struct(
+                    F.lit(b).alias("n_bands"),
+                    F.lit(6 // b).alias("rows_per_band"),
+                    F.concat(*[F.col(f"mh{j}") for j in g]).alias("band"),
+                )
             )
-        )
-    bands = frames[0]
-    for fr in frames[1:]:
-        bands = bands.unionByName(fr)
+    bands = sigs.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
+        "doc_id", "e.n_bands", "e.rows_per_band", "e.band"
+    )
     buckets = (
         bands.groupBy("n_bands", "rows_per_band", "band")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
         .filter(F.size("docs") > 1)
     )
-    pairs = F.flatten(
-        F.transform(
-            "docs",
-            lambda x, i: F.transform(
-                F.slice("docs", i + 2, F.size("docs")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     cand = (
-        buckets.select("n_bands", "rows_per_band", F.explode(pairs).alias("p"))
-        .select("n_bands", "rows_per_band", "p.doc_a", "p.doc_b")
+        buckets.select(
+            "n_bands", "rows_per_band", "docs", F.posexplode("docs").alias("i", "doc_a")
+        )
+        .select(
+            "n_bands",
+            "rows_per_band",
+            "doc_a",
+            F.explode(
+                F.slice("docs", F.col("i") + F.lit(2), F.size("docs"))
+            ).alias("doc_b"),
+        )
         .distinct()
     )
-    sets = dg.groupBy("doc_id").agg(F.collect_set("d").alias("ds"))
+    sets = (
+        dg.select(
+            "doc_id", F.conv(F.substring("d", 1, 15), 16, 10).cast("long").alias("dn")
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("dn").alias("ds"))
+    )
     x, y = sets.alias("x"), sets.alias("y")
     inter = F.size(F.array_intersect(F.col("x.ds"), F.col("y.ds")))
     v = (3 * inter >= F.size(F.col("x.ds")) + F.size(F.col("y.ds"))).cast("int")
