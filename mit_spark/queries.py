@@ -1542,33 +1542,35 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement on a shared shortcut.
 
     Plan shape at 100 TB: one token explode + per-doc majority aggregate
-    (combinable — the 60 conditional sums ride one groupBy), fingerprints
-    are 8 bytes/doc; the band explode is x4; the self-join shuffles on
+    (combinable — the 60 sums ride one groupBy), fingerprints are
+    8 bytes/doc; the band explode is x4; the self-join shuffles on
     (band_idx, band_value) — uniform md5-derived keys, no hot band; the
-    verify is a codegen xor on the joined rows; DISTINCT dedupes pairs
-    that agree on multiple bands before emitting. Everything after the
-    token aggregate is integer arithmetic on longs."""
+    verify is a codegen xor on the joined rows, applied BEFORE the
+    pair-dedup DISTINCT so the dedup shuffle carries qualifying pairs
+    only. Everything after the token aggregate is integer arithmetic on
+    longs — the per-token hash is projected ONCE as a 60-bit md5-prefix
+    BIGINT whose bit m = 4*(15-1-p)+k is exactly nibble p's bit k, so
+    each majority sum is a single shift/mask (the per-(p,k)
+    substring+instr formulation cost ~60 string ops per token row and
+    measured 4.3 vs 3.4 s warm at sf0.1)."""
     d = read_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.trim("text"), " "))).alias("w")
-    ).withColumn("h", F.md5("w"))
-    nib = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring("h", p + 1, 1)) - 1  # noqa: E731
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, _SH_NIBBLES), 16, 10).cast("long").alias("hn"),
+    )
     sums = [
-        F.sum(
-            F.when(F.shiftright(nib(p), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s_{p}_{k}")
-        for p in range(_SH_NIBBLES)
-        for k in range(4)
+        F.sum(F.shiftright("hn", m).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s_{m}")
+        for m in range(4 * _SH_NIBBLES)
     ]
     bits = tok.groupBy("doc_id").agg(*sums)
     f = None
-    for p in range(_SH_NIBBLES):
-        for k in range(4):
-            term = F.when(
-                F.col(f"s_{p}_{k}") > 0,
-                F.lit(1 << (4 * (_SH_NIBBLES - 1 - p) + k)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            f = term if f is None else (f + term)
+    for m in range(4 * _SH_NIBBLES):
+        term = F.when(F.col(f"s_{m}") > 0, F.lit(1 << m).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        f = term if f is None else (f + term)
     fp = bits.select("doc_id", f.alias("f"))
     band_w = 4 * _SH_NIBBLES // _SH_BANDS  # 15 bits per band
     bands = fp.select(
@@ -1594,16 +1596,13 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("f").alias("fb"), "bi", "bv"
     )
-    cand = (
-        a.join(b, ["bi", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fa", "fb")
-        .distinct()
-    )
     ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
     return (
-        cand.filter(ham <= _SH_HAM)
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= _SH_HAM)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
