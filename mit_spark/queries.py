@@ -1380,24 +1380,21 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pairs per band bucket WITHOUT a self-join (a join would recompute the
     # whole shingle->minhash lineage for both sides): group docs per band,
-    # expand sorted pairwise combinations with higher-order functions
+    # expand sorted pairwise combinations via posexplode + slice + explode
+    # (no HOF lambdas — those are interpreted per element, never codegen'd)
     buckets = (
         bands.groupBy("band")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
         .filter(F.size("docs") > 1)
     )
-    pairs = F.flatten(
-        F.transform(
-            "docs",
-            lambda x, i: F.transform(
-                F.slice("docs", i + 2, F.size("docs")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        buckets.select("docs", F.posexplode("docs").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("docs", F.col("i") + F.lit(2), F.size("docs"))
+            ).alias("doc_b"),
+        )
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
@@ -4507,7 +4504,9 @@ def _minhash_verify_sql() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
     ), sets AS (
-      SELECT doc_id, list_distinct(list(d)) AS ds FROM dg GROUP BY doc_id
+      SELECT doc_id,
+             list_distinct(list(('0x' || substr(d, 1, 15))::BIGINT)) AS ds
+      FROM dg GROUP BY doc_id
     )
     SELECT doc_a, doc_b,
            round(len(list_filter(x.ds, s -> list_contains(y.ds, s)))
@@ -4844,10 +4843,12 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LSH dedup pipeline: minhash-band CANDIDATES (recall stage,
     same formulation as minhash_near_dup) -> exact shingle-set Jaccard
     VERIFY >= 0.5 (precision stage). At 100 TB the verify join touches only
-    candidate pairs (|cand| << n^2), and the shingle sets travel as md5
-    digests — the classic near-dup architecture for training corpora.
-    Ratio computed over exact integer set sizes, so the 0.5 threshold is
-    engine-deterministic."""
+    candidate pairs (|cand| << n^2), and the shingle sets travel as 60-bit
+    md5-prefix BIGINTs (~4x less join payload than 32-char hex; both
+    engines truncate identically) — the classic near-dup architecture for
+    training corpora. In-bucket pair expansion is posexplode + slice +
+    explode (no interpreted HOF lambdas). Ratio computed over exact
+    integer set sizes, so the 0.5 threshold is engine-deterministic."""
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.trim("text"), " ").alias("words")
     )
@@ -4882,19 +4883,23 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
         .filter(F.size("docs") > 1)
     )
-    pairs = F.flatten(
-        F.transform(
-            "docs",
-            lambda x, i: F.transform(
-                F.slice("docs", i + 2, F.size("docs")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     cand = (
-        buckets.select(F.explode(pairs).alias("p")).select("p.doc_a", "p.doc_b").distinct()
+        buckets.select("docs", F.posexplode("docs").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("docs", F.col("i") + F.lit(2), F.size("docs"))
+            ).alias("doc_b"),
+        )
+        .distinct()
     )
-    sets = dg.groupBy("doc_id").agg(F.collect_set("d").alias("ds"))
+    sets = (
+        dg.select(
+            "doc_id", F.conv(F.substring("d", 1, 15), 16, 10).cast("long").alias("dn")
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("dn").alias("ds"))
+    )
     x, y = sets.alias("x"), sets.alias("y")
     inter = F.size(F.array_intersect(F.col("x.ds"), F.col("y.ds")))
     union = F.size(F.col("x.ds")) + F.size(F.col("y.ds")) - inter
