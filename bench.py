@@ -109,6 +109,29 @@ BENCH_QUERIES = [
     "cardinality_hll_sketch",
     "fuzzy_match_join",
     "cohort_retention",
+    # round 5 closing sweep: every remaining registry entry EXCEPT the three
+    # flagship_*_digest variants and flagship_span_counts/flagship_extract —
+    # those re-run the full detect+OCR pipeline over the WHOLE corpus
+    # (~20 s each at sf0.1) and are throughput-measured by the dedicated
+    # flagship block above (1500 docs, docs/s + spans/s), so re-timing them
+    # here would triple-count the same pipeline without new signal
+    "reading_order_sql",
+    "docs_span_stats",
+    "streaming_drain",
+    "doc_quality_by_lang",
+    "doc_token_stats",
+    "top_customer_per_nation",
+    "part_type_stats",
+    "supplier_balance_rollup",
+    "user_topk_events",
+    "event_type_matrix",
+    "repeat_customers_intersect",
+    "churned_customers_except",
+    "supplier_distinct_parts",
+    "orders_without_lineitems",
+    "priority_orders_semi",
+    "embedding_label_norms",
+    "semantic_dedup_verified",
 ]
 
 FLAGSHIP_DOC_LIMIT = int(os.environ.get("MIT_BENCH_DOC_LIMIT", "1500"))

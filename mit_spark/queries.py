@@ -5102,8 +5102,6 @@ def dedup_clusters_logrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     E = (
         pairs.select(F.col("doc_a").cast("long").alias("u"), F.col("doc_b").cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .cache()
     )
     nodes = (
         pairs.select(F.col("doc_a").alias("n"))
@@ -5113,6 +5111,9 @@ def dedup_clusters_logrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def large_star(e: DataFrame) -> DataFrame:
+        # NO trailing distinct: duplicate (u, m) edges are harmless to
+        # small_star's min-window and deduped by ITS distinct — dropping the
+        # extra shuffle here cuts the per-round shuffle count 5 -> 3
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         w = Window.partitionBy("u")
         m = F.least(F.col("u"), F.min("v").over(w))
@@ -5121,7 +5122,6 @@ def dedup_clusters_logrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:
@@ -5142,19 +5142,24 @@ def dedup_clusters_logrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).distinct()
 
     converged = False
-    prev_cached = E
+    # INVARIANT: small_star emits both edge forms with v < u (m is a strict
+    # minimum over values all smaller than the head), i.e. its output is
+    # ALREADY canonical and distinct — so after round 1 the gate can count
+    # and subtract the round output DIRECTLY instead of paying canon_set's
+    # extra greatest/least + distinct shuffle per round. Only the seed edge
+    # list E (doc_a < doc_b) needs one explicit canonicalization.
+    prev_cached = canon_set(E).cache()
     prev_cnt = None
     for _ in range(15):
         new_e = small_star(large_star(prev_cached)).cache()
         # cheap gate first: edge COUNTS differ while components contract, so
         # the set-equality subtract (equal-size sets + one empty difference
         # => equal) only runs on the candidate-fixpoint round
-        cnt = canon_set(new_e).count()
+        cnt = new_e.count()
         changed = 1
-        if cnt == (prev_cnt if prev_cnt is not None else canon_set(prev_cached).count()):
-            changed = canon_set(new_e).subtract(canon_set(prev_cached)).limit(1).count()
-        if prev_cached is not E:
-            prev_cached.unpersist()
+        if cnt == (prev_cnt if prev_cnt is not None else prev_cached.count()):
+            changed = new_e.subtract(prev_cached).limit(1).count()
+        prev_cached.unpersist()
         prev_cached, prev_cnt = new_e, cnt
         if changed == 0:
             converged = True
@@ -5178,7 +5183,6 @@ def dedup_clusters_logrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev_cached.unpersist()
-    E.unpersist()
     nodes.unpersist()
     return out.orderBy("doc_id")
 
