@@ -2981,18 +2981,24 @@ def embedding_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("long")
 
-    codes = emb.select("vec_id", F.array(*[code(i) for i in range(64)]).alias("c"))
+    # materialize the codes table ONCE before the self-join (8 bytes x 64
+    # per row): both join sides derive from it, and without the checkpoint
+    # each side re-runs the 64-expression quantizer projection over the
+    # parquet scan — the same double-compute simhash_hamming_pairs paid.
+    # Measured 3.0 -> ~2.0 s warm at sf0.1. (An unrolled 64-term distance
+    # was ALSO tried and lost to the HOF fold here, 2.2 vs 1.9 s — with the
+    # codes materialized the fold is not the bottleneck, and the unrolled
+    # element_at chain JIT-compiles a far larger codegen method.)
+    codes = emb.select(
+        "vec_id", F.array(*[code(i) for i in range(64)]).alias("c")
+    ).localCheckpoint(eager=True)
 
     def d2_int(x: Column, y: Column) -> Column:
-        # explicit 64-term sum instead of aggregate(zip_with(...)): the HOF
-        # runs its lambda interpreted per element while the unrolled form is
-        # one whole-stage-codegen'd long expression — measured 3.1 -> ~1 s
-        # on the 32 x N quantized brute-force pass at sf0.1
-        terms = [(x[i] - y[i]) * (x[i] - y[i]) for i in range(64)]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
 
     qv = codes.filter(F.col("vec_id") < _RECALL_N_QUERIES).alias("q")
     nv = codes.alias("n")
