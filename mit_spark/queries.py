@@ -5095,35 +5095,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.orderBy("doc_id")
 
 
-@register("dedup_clusters_logrounds", _dedup_clusters_sql())
-def dedup_clusters_logrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
-    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
-    O(log d)-round algorithm dedup_clusters' docstring names as the
-    escape hatch for pathological high-diameter pair graphs, implemented
-    and held to the IDENTICAL recursive-CTE oracle (two algorithms, one
-    truth): large-star attaches every neighbor LARGER than u to
-    min(Γ(u) ∪ {u}); small-star re-attaches the smaller neighbors (and u)
-    of each canonical-edge head to the same minimum; alternating the two
-    contracts every component to a star centered at its minimum id in
-    O(log d) rounds, vs min-label propagation's O(d). Per round each
-    operation is ONE keyed shuffle over the (shrinking) edge list — the
-    same cost class as a propagation round, so the win is purely in ROUND
-    COUNT; the convergence check is a short-circuited driver scalar (the
-    iterative-algorithm discipline shared by dedup_clusters/kmeans).
-    Reads the same staged verified-pair parquet; labels = each node's
-    star center (min reachable doc_id)."""
-    pairs, _ = _staged_pairs(spark, sf_dir)
-    E = (
-        pairs.select(F.col("doc_a").cast("long").alias("u"), F.col("doc_b").cast("long").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-    )
-    nodes = (
-        pairs.select(F.col("doc_a").alias("n"))
-        .unionByName(pairs.select(F.col("doc_b").alias("n")))
-        .distinct()
-        .cache()
-    )
+def _star_contract(E: DataFrame, nodes: DataFrame, max_rounds: int = 15) -> DataFrame:
+    """Alternating star contraction over an arbitrary edge list — the core
+    of `dedup_clusters_logrounds`, factored out so tests can drive it with
+    pathological graphs (long paths exercise many contraction rounds; the
+    staged dedup pair graph converges in ~2). ``E``: columns (u, v) long,
+    u != v, any orientation, duplicates allowed. ``nodes``: column (n)
+    covering every endpoint plus any isolated nodes (which label
+    themselves). Returns (n, label), label = min node id reachable from n,
+    materialized via localCheckpoint."""
 
     def large_star(e: DataFrame) -> DataFrame:
         # NO trailing distinct: duplicate (u, m) edges are harmless to
@@ -5162,11 +5142,19 @@ def dedup_clusters_logrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ALREADY canonical and distinct — so after round 1 the gate can count
     # and subtract the round output DIRECTLY instead of paying canon_set's
     # extra greatest/least + distinct shuffle per round. Only the seed edge
-    # list E (doc_a < doc_b) needs one explicit canonicalization.
-    prev_cached = canon_set(E).cache()
+    # list E needs one explicit canonicalization.
+    #
+    # localCheckpoint (NOT cache) each round: each round's plan references
+    # the previous round's frame ~4x (symmetric union, withm reuse,
+    # subtract), so under cache the LOGICAL plan grows ~4^rounds — a
+    # 65-node path graph (6+ rounds) OOM'd the driver just stringifying
+    # the plan. Checkpointing truncates lineage to the materialized blocks;
+    # ContextCleaner frees them once the frame is dropped (same discipline
+    # as dedup_clusters' fixpoint).
+    prev_cached = canon_set(E).localCheckpoint(eager=True)
     prev_cnt = None
-    for _ in range(15):
-        new_e = small_star(large_star(prev_cached)).cache()
+    for _ in range(max_rounds):
+        new_e = small_star(large_star(prev_cached)).localCheckpoint(eager=True)
         # cheap gate first: edge COUNTS differ while components contract, so
         # the set-equality subtract (equal-size sets + one empty difference
         # => equal) only runs on the candidate-fixpoint round
@@ -5174,16 +5162,15 @@ def dedup_clusters_logrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         changed = 1
         if cnt == (prev_cnt if prev_cnt is not None else prev_cached.count()):
             changed = new_e.subtract(prev_cached).limit(1).count()
-        prev_cached.unpersist()
         prev_cached, prev_cnt = new_e, cnt
         if changed == 0:
             converged = True
             break
     if not converged:
         raise RuntimeError(
-            "dedup_clusters_logrounds: star contraction did not converge in "
-            "15 rounds (log2 of any realistic component diameter is far "
-            "smaller — investigate the pair graph)"
+            f"star contraction did not converge in {max_rounds} rounds "
+            "(log2 of any realistic component diameter is far smaller — "
+            "investigate the pair graph)"
         )
     sym = prev_cached.unionByName(
         prev_cached.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -5192,12 +5179,46 @@ def dedup_clusters_logrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         nodes.join(mins, nodes.n == mins.u, "left")
         .select(
-            F.col("n").alias("doc_id"),
-            F.least("n", F.coalesce("mn", "n")).alias("cluster_id"),
+            F.col("n"),
+            F.least("n", F.coalesce("mn", "n")).alias("label"),
         )
         .localCheckpoint(eager=True)
     )
-    prev_cached.unpersist()
+    return out
+
+
+@register("dedup_clusters_logrounds", _dedup_clusters_sql())
+def dedup_clusters_logrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    O(log d)-round algorithm dedup_clusters' docstring names as the
+    escape hatch for pathological high-diameter pair graphs, implemented
+    and held to the IDENTICAL recursive-CTE oracle (two algorithms, one
+    truth): large-star attaches every neighbor LARGER than u to
+    min(Γ(u) ∪ {u}); small-star re-attaches the smaller neighbors (and u)
+    of each canonical-edge head to the same minimum; alternating the two
+    contracts every component to a star centered at its minimum id in
+    O(log d) rounds, vs min-label propagation's O(d). Per round each
+    operation is ONE keyed shuffle over the (shrinking) edge list — the
+    same cost class as a propagation round, so the win is purely in ROUND
+    COUNT; the convergence check is a short-circuited driver scalar (the
+    iterative-algorithm discipline shared by dedup_clusters/kmeans).
+    Reads the same staged verified-pair parquet; labels = each node's
+    star center (min reachable doc_id)."""
+    pairs, _ = _staged_pairs(spark, sf_dir)
+    E = (
+        pairs.select(F.col("doc_a").cast("long").alias("u"), F.col("doc_b").cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    nodes = (
+        pairs.select(F.col("doc_a").alias("n"))
+        .unionByName(pairs.select(F.col("doc_b").alias("n")))
+        .distinct()
+        .cache()
+    )
+    out = _star_contract(E, nodes).select(
+        F.col("n").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
     nodes.unpersist()
     return out.orderBy("doc_id")
 
