@@ -5043,7 +5043,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("s").alias("doc")).distinct()
         .withColumn("label", F.col("doc"))
     )
-    prev_cached = None  # the cached frame backing the CURRENT labels view
     converged = False
     for _ in range(20):  # components here have tiny diameter; bound is a safety net
         nb = (
@@ -5057,6 +5056,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_label = F.least(
             F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
         )
+        # localCheckpoint (NOT cache): each round's plan references the
+        # previous labels frame 2-3x, so under cache the LOGICAL plan grows
+        # ~3^rounds — fine at this data's 2-3 round diameter, driver-OOM
+        # territory near the 20-round cap (the same failure
+        # tests/test_star_contract.py exposed on the logrounds variant).
+        # Checkpointing truncates lineage; blocks are freed by the
+        # ContextCleaner once the frame is dropped.
         joined = (
             labels.join(nb, labels.doc == nb.s, "left")
             .select(
@@ -5064,21 +5070,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 new_label.alias("label"),
                 (new_label < F.col("label")).cast("int").alias("chg"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = joined.agg(F.sum("chg")).collect()[0][0]
-        # unpersist the frame that backed the PREVIOUS round (labels itself
-        # is a projection, not the cache entry — unpersisting it is a no-op)
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = joined
         labels = joined.select("doc", "label")
         if not changed:
             converged = True
             break
     edges.unpersist()
     if not converged:
-        prev_cached.unpersist()
         raise RuntimeError(
             "dedup_clusters: label propagation did not converge in 20 rounds "
             "(component diameter exceeds bound — raise the round cap)"
@@ -5091,7 +5091,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
-    prev_cached.unpersist()
     return final.orderBy("doc_id")
 
 
