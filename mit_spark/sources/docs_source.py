@@ -83,16 +83,18 @@ def read_table(
 ) -> DataFrame:
     """Engine input seam for the relational tables. ``fmt=None`` autodetects
     by file presence — parquet (the testdata default) first, then orc, json,
-    csv — so every registry query runs unchanged over any corpus format
+    csv, xml — so every registry query runs unchanged over any corpus format
     Spark ships a vectorized reader for; pointing sf_dir at an ORC/JSON
     export of the same tables is the only change (tests/test_source_formats
     proves output equality across formats). Pass ``schema`` to pin types
-    for the schemaless formats (json/csv infer BIGINT/VARCHAR/DOUBLE, which
-    matches the testdata tables; columns like array<float> need the pin)."""
+    for the schemaless formats (json/csv/xml infer BIGINT/VARCHAR/DOUBLE,
+    which matches the testdata tables; columns like array<float> need the
+    pin). XML uses Spark 4's built-in reader with rowTag="row" (the
+    convention this seam's writer side uses in test_source_formats)."""
     import os as _os
 
     if fmt is None:
-        for cand in ("parquet", "orc", "json", "csv"):
+        for cand in ("parquet", "orc", "json", "csv", "xml"):
             if _os.path.exists(_os.path.join(sf_dir, f"{name}.{cand}")):
                 fmt = cand
                 break
@@ -105,4 +107,6 @@ def read_table(
         reader = reader.option("header", "true")
         if schema is None:
             reader = reader.option("inferSchema", "true")
+    if fmt == "xml":
+        reader = reader.option("rowTag", "row")
     return reader.format(fmt).load(f"{sf_dir}/{name}.{fmt}")

@@ -1,6 +1,8 @@
 """Source-format breadth: the same registry queries must produce identical
-results over parquet, ORC, and JSON exports of the tables — read_table's
-autodetect is the only moving part (SURVEY.md §2.1 S1 source seam)."""
+results over parquet, ORC, JSON, and XML exports of the tables —
+read_table's autodetect is the only moving part (SURVEY.md §2.1 S1 source
+seam). XML exercises the HTML-ish ``text`` column's escape/unescape path
+(the markup the boilerplate stage strips must survive the container)."""
 
 import os
 
@@ -19,10 +21,13 @@ def format_dirs(spark, tmp_path_factory):
     dirs = {}
     docs = read_table(spark, SF, "documents")
     emb = read_table(spark, SF, "embeddings")
-    for fmt in ("orc", "json"):
+    for fmt in ("orc", "json", "xml"):
         d = str(base / fmt)
         os.makedirs(d, exist_ok=True)
-        docs.write.format(fmt).save(f"{d}/documents.{fmt}")
+        w = docs.write.format(fmt)
+        if fmt == "xml":  # Spark 4 built-in XML; rowTag matches read_table
+            w = w.option("rowTag", "row")
+        w.save(f"{d}/documents.{fmt}")
         if fmt == "orc":  # array<float> column: json would infer double
             emb.write.format(fmt).save(f"{d}/embeddings.{fmt}")
         dirs[fmt] = d
@@ -33,7 +38,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-@pytest.mark.parametrize("fmt", ["orc", "json"])
+@pytest.mark.parametrize("fmt", ["orc", "json", "xml"])
 @pytest.mark.parametrize(
     "qname", ["exact_dedup", "doc_token_stats", "sequence_pack"]
 )
