@@ -1,0 +1,97 @@
+"""Property tests, part 4: the reading-order total order (SURVEY §2.6 O7).
+
+`reading_order` is the one semantic the whole span-sequence equality gate
+hangs on: it must be a PERMUTATION, must not depend on quad arrival order
+(detection order is contour-discovery order, which is an implementation
+detail), and must equal its own definition (RTL band, then top-to-bottom,
+then x-desc) computed by an independent scalar sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+hyp = pytest.importorskip("hypothesis")
+from hypothesis import assume, given, settings, strategies as st  # noqa: E402
+
+from mit_spark.operators.geometry import Quad  # noqa: E402
+from mit_spark.operators.ordering import reading_order  # noqa: E402
+
+COMMON = settings(max_examples=80, deadline=None)
+
+
+def _mk_quads(rects):
+    """Axis-aligned quads from (x, y, w, h) tuples."""
+    out = []
+    for x, y, w, h in rects:
+        pts = np.array(
+            [[x, y], [x + w, y], [x + w, y + h], [x, y + h]], dtype=np.int64
+        )
+        out.append(Quad(pts, 1.0))
+    return out
+
+
+rects_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 500),  # x
+        st.integers(0, 500),  # y
+        st.integers(1, 80),  # w
+        st.integers(1, 80),  # h
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _keys(quads):
+    x_center = np.array(
+        [int(q.pts[:, 0].min()) + int(q.pts[:, 0].max()) for q in quads]
+    ) / 2.0
+    y_top = np.array([int(q.pts[:, 1].min()) for q in quads])
+    widths = np.array(
+        [int(q.pts[:, 0].max()) - int(q.pts[:, 0].min()) for q in quads],
+        dtype=np.float64,
+    )
+    band_w = max(float(np.median(widths)), 1.0)
+    band = np.floor((float(x_center.max()) - x_center) / band_w).astype(np.int64)
+    return list(zip(band.tolist(), y_top.tolist(), (-x_center).tolist()))
+
+
+@COMMON
+@given(rects_strategy)
+def test_reading_order_is_permutation(rects):
+    quads = _mk_quads(rects)
+    ranks = reading_order(quads)
+    assert sorted(ranks) == list(range(len(quads)))
+
+
+@COMMON
+@given(rects_strategy, st.randoms(use_true_random=False))
+def test_reading_order_input_order_invariant(rects, rnd):
+    """With unique sort keys, each quad's rank must not depend on the
+    order quads arrive in (contour-discovery order is arbitrary)."""
+    quads = _mk_quads(rects)
+    assume(len(set(_keys(quads))) == len(quads))  # no exact ties
+    base = reading_order(quads)
+    perm = list(range(len(quads)))
+    rnd.shuffle(perm)
+    shuffled = [quads[i] for i in perm]
+    got = reading_order(shuffled)
+    # quad quads[perm[j]] sits at position j in the shuffled list
+    assert [got[j] for j in range(len(perm))] == [base[perm[j]] for j in range(len(perm))]
+
+
+@COMMON
+@given(rects_strategy)
+def test_reading_order_matches_scalar_sort_definition(rects):
+    """Independent scalar re-derivation: sort indices by (band asc,
+    y_top asc, x_center desc) with python sorted()."""
+    quads = _mk_quads(rects)
+    assume(len(set(_keys(quads))) == len(quads))
+    keys = _keys(quads)
+    order = sorted(range(len(quads)), key=lambda i: keys[i])
+    want = [0] * len(quads)
+    for rank, i in enumerate(order):
+        want[i] = rank
+    assert reading_order(quads) == want
