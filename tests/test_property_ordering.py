@@ -95,3 +95,44 @@ def test_reading_order_matches_scalar_sort_definition(rects):
     for rank, i in enumerate(order):
         want[i] = rank
     assert reading_order(quads) == want
+
+
+# ---------------------------------------------------------------------------
+# det_rearrange_forward seam boundedness (W3/W8). The reference pastes
+# patches at rust_round(rel_t*h) offsets and halves a FIXED interleave
+# length (det_arrange.rs:355-416), so at most a couple of rows per patch
+# boundary land at 0.5x/2x when the rounding misaligns — an inherent
+# reference artifact the port mirrors (the golden test picks exact-rounding
+# dims; this one pins that arbitrary dims stay a THIN band, never global
+# corruption).
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_rearrange_forward_seams_are_bounded(seed):
+    from mit_spark.operators.rearrange import (
+        det_rearrange_forward,
+        should_rearrange,
+    )
+
+    TGT = 256
+    rng = np.random.RandomState(seed)
+    w = int(rng.randint(40, 200))
+    h = int(rng.randint(w * 4, w * 20))
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    assume(should_rearrange(img, TGT))
+
+    def fwd(batch):
+        b = batch.shape[0]
+        return (
+            np.full((b, 2, TGT, TGT), 1.0, dtype=np.float32),
+            np.full((b, 1, TGT // 2, TGT // 2), 0.25, dtype=np.float32),
+        )
+
+    db, mask = det_rearrange_forward(img, TGT, 4, fwd)
+    # constant-in stays constant except seam rows, which are exactly the
+    # halved/doubled/uncovered values — nothing else can appear
+    assert set(np.unique(db).tolist()) <= {0.0, 0.5, 1.0, 2.0}
+    assert set((np.unique(mask) * 4).tolist()) <= {0.0, 0.5, 1.0, 2.0}
+    off = float((db != 1.0).mean())
+    assert off <= 0.03, f"seam fraction {off:.4f} at dims ({h},{w})"
