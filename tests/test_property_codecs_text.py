@@ -134,3 +134,36 @@ def test_clean_text_py_matches_duckdb(s):
     sql = clean_text_sql("?")
     want = con.execute(f"SELECT {sql}", [s]).fetchone()[0]
     assert clean_text_py(s) == want
+
+
+def test_clean_text_three_engine_agreement_randomized(spark):
+    """All THREE engines — Catalyst (Java regex), python `re`, DuckDB
+    (RE2) — must agree on 500 seeded random markup strings in one batch:
+    the leftmost-first alternation + tag/ws-collapse semantics must not
+    depend on the regex engine (the pattern list deliberately avoids
+    backreferences; this is the fuzz companion to the fixed-corpus oracle
+    entries)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mit_spark.functions.textclean import clean_text_col
+
+    rng = np.random.RandomState(7)
+    frags = _FRAGMENTS + ["<nav>deep<script>x</script></nav>", "</nav><nav>"]
+    strings = [
+        "".join(rng.choice(frags, size=rng.randint(0, 40)))
+        for _ in range(500)
+    ]
+    want_py = [clean_text_py(s) for s in strings]
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i int, s string")
+    got_spark = {
+        r["i"]: r["c"]
+        for r in df.select("i", clean_text_col(F.col("s")).alias("c")).collect()
+    }
+    assert [got_spark[i] for i in range(len(strings))] == want_py
+
+    con = duckdb.connect()
+    sql = clean_text_sql("?")
+    got_duck = [con.execute(f"SELECT {sql}", [s]).fetchone()[0] for s in strings]
+    assert got_duck == want_py
