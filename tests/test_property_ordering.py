@@ -136,3 +136,36 @@ def test_rearrange_forward_seams_are_bounded(seed):
     assert set((np.unique(mask) * 4).tolist()) <= {0.0, 0.5, 1.0, 2.0}
     off = float((db != 1.0).mean())
     assert off <= 0.03, f"seam fraction {off:.4f} at dims ({h},{w})"
+
+
+# ---------------------------------------------------------------------------
+# OCR decode exactness under quad dilation. Detection hands OCR a quad
+# that is the glyph rect DILATED by unclip (never touching a neighbour:
+# media_truth sizes margins for the max dilation), and decode_quad finds
+# the tight ink box inside the crop — so the decoded text must equal the
+# generator's ground truth for ANY padding up to the layout margin.
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 10**9), st.integers(0, 40), st.integers(0, 30))
+def test_ocr_decode_exact_under_quad_padding(docno, offset, pad_seed):
+    from mit_spark.operators.geometry import Quad
+    from mit_spark.operators.ocr import decode_quad
+    from mit_spark.synth import media_ref_for, media_truth, render_media
+
+    ref = media_ref_for(f"doc-{docno:08d}", offset)
+    t = media_truth(ref)
+    img = render_media(ref)
+    rng = np.random.RandomState(pad_seed)
+    for x0, y0, rw, rh, text, _vertical in t["rects"]:
+        p = int(rng.randint(0, 21))  # <= half the 44px layout margin
+        pts = np.array(
+            [
+                [x0 - p, y0 - p],
+                [x0 + rw + p, y0 - p],
+                [x0 + rw + p, y0 + rh + p],
+                [x0 - p, y0 + rh + p],
+            ],
+            dtype=np.int64,
+        )
+        assert decode_quad(img, Quad(pts, 1.0)) == text
