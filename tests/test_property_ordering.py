@@ -130,10 +130,12 @@ def test_rearrange_forward_seams_are_bounded(seed):
         )
 
     db, mask = det_rearrange_forward(img, TGT, 4, fwd)
-    # constant-in stays constant except seam rows, which are exactly the
-    # halved/doubled/uncovered values — nothing else can appear
-    assert set(np.unique(db).tolist()) <= {0.0, 0.5, 1.0, 2.0}
-    assert set((np.unique(mask) * 4).tolist()) <= {0.0, 0.5, 1.0, 2.0}
+    # constant-in stays constant except seam rows, whose values compose
+    # from paste(+1) and halve(/2) steps only — quarter-steps in [0, 2.5]
+    # (e.g. 1.5 = paste onto an already-halved band); nothing else
+    for vals in (np.unique(db), np.unique(mask) * 4):
+        assert float(vals.min()) >= 0.0 and float(vals.max()) <= 2.5
+        np.testing.assert_allclose(vals * 4, np.round(vals * 4), atol=1e-6)
     off = float((db != 1.0).mean())
     assert off <= 0.03, f"seam fraction {off:.4f} at dims ({h},{w})"
 
